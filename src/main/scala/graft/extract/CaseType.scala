@@ -1,0 +1,165 @@
+package graft.extract
+
+import graft.text.Py
+import graft.text.Py.{I, S}
+
+/** P21 — case-type segment extraction with the weight-sorted,
+  * prefix-deduped, budgeted combiner
+  * (`/root/reference/src/extractor.py:1685-1916`). */
+object CaseType {
+
+  final case class Segment(content: String, weight: Int)
+
+  def extract(text0: String, language: String, docType: String): String = {
+    // 80000-char cap (src/extractor.py:1691-1693)
+    val text = if (text0.length > 80000) Py.sliceTo(text0, 80000) else text0
+    if (language == "english") extractEnglishComprehensive(text)
+    else extractChineseComprehensive(text)
+  }
+
+  /** `_extract_english_case_type_comprehensive` (`src/extractor.py:1706-1780`). */
+  def extractEnglishComprehensive(text: String): String = {
+    val segments = scala.collection.mutable.ListBuffer.empty[Segment]
+
+    // Layer 1: key sections, weights 10..6, ≤2 matches each
+    val keySectionPatterns = Seq(
+      ("""Introduction\s*[:\.]?\s*\n((?:[^\n]+\n){3,20})""", 10),
+      ("""(?:BACKGROUND|Background)\s*[:\.]?\s*\n((?:[^\n]+\n){5,25})""", 9),
+      ("""(?:FACTS?|Facts?)\s*[:\.]?\s*\n((?:[^\n]+\n){3,20})""", 8),
+      ("""(?:This is|These are)\s+(?:an?\s+)?(action|application|proceeding|matter|case|appeal|motion|summons)([^\n.]{20,300})""", 7),
+      ("""(?:The|This)\s+(?:plaintiff|applicant|defendant|appellant)\s+(?:seeks?|applies?|brings?|claims?)\s+([^\n.]{30,400})""", 6))
+
+    for ((p, weight) <- keySectionPatterns) {
+      val matches = Py.findIter(p, text, I | S).take(2)
+      for ((g1, _, _) <- matches) {
+        val clean = cleanComprehensiveContent(g1)
+        if (clean.length >= 50 && clean.length <= 2000)
+          segments += Segment(clean, weight)
+      }
+    }
+
+    // Layer 2: judgment-context patterns, weights 5,4
+    val judgmentContextPatterns = Seq(
+      ("""(?:ORDER|ORDERS|JUDGMENT|HELD|DISPOSITION)\s*[:\.]?\s*\n((?:[^\n]+\n){2,15})""", 5),
+      ("""(?:For (?:these reasons|the foregoing reasons)|Accordingly|In (?:conclusion|the result))\s*[,.]?\s*([^\n.]{50,500})""", 4))
+
+    for ((p, weight) <- judgmentContextPatterns) {
+      val matches = Py.findIter(p, text, I | S).take(2)
+      for ((g1, _, _) <- matches) {
+        val clean = cleanComprehensiveContent(g1)
+        if (clean.length >= 30 && clean.length <= 1500)
+          segments += Segment(clean, weight)
+      }
+    }
+
+    // Layer 3: long paragraphs with case keywords, weight 2, stop at 8 total
+    val caseKeywords = Seq("application", "proceeding", "action", "dispute",
+      "matter", "claim", "relief", "judgment", "order")
+    val paragraphs = Py.resplit("""\n\s*\n""", text)
+    var stop = false
+    for (paragraph <- paragraphs if !stop) {
+      if (paragraph.length >= 200 && paragraph.length <= 2000 &&
+          caseKeywords.exists(paragraph.toLowerCase.contains)) {
+        val clean = cleanComprehensiveContent(paragraph)
+        if (clean.length >= 100 && clean.length <= 1500) {
+          segments += Segment(clean, 2)
+          if (segments.length >= 8) stop = true
+        }
+      }
+    }
+
+    combineComprehensiveSegments(segments.toList, 3000)
+  }
+
+  /** `_extract_chinese_case_type_comprehensive` (`src/extractor.py:1846-1916`). */
+  def extractChineseComprehensive(text: String): String = {
+    val segments = scala.collection.mutable.ListBuffer.empty[Segment]
+
+    val keySectionPatterns = Seq(
+      ("""(?:背景|事實|案情|簡介)\s*[：:.]?\s*\n((?:[^\n]+\n){3,20})""", 10),
+      ("""(?:爭議|問題|焦點|糾紛)\s*[：:.]?\s*\n((?:[^\n]+\n){2,15})""", 9),
+      ("""(?:申請人|原告人?)\s*(?:申請|請求|要求|尋求|指稱)\s*([^\n。]{50,500})""", 8),
+      ("""(?:本案|該案|此案)\s*(?:涉及|關於|係|為)\s*([^\n。]{30,400})""", 7))
+
+    for ((p, weight) <- keySectionPatterns) {
+      val matches = Py.findIter(p, text).take(2)
+      for ((g1, _, _) <- matches) {
+        val clean = cleanComprehensiveContent(g1)
+        if (clean.length >= 30 && clean.length <= 1500)
+          segments += Segment(clean, weight)
+      }
+    }
+
+    val judgmentPatterns = Seq(
+      ("""(?:命令|判令|裁定|判決)\s*[：:.]?\s*\n((?:[^\n]+\n){2,15})""", 6),
+      ("""(?:綜上所述|因此|故此|據此)\s*[，,]?\s*([^\n。]{30,400})""", 5))
+
+    for ((p, weight) <- judgmentPatterns) {
+      val matches = Py.findIter(p, text).take(2)
+      for ((g1, _, _) <- matches) {
+        val clean = cleanComprehensiveContent(g1)
+        if (clean.length >= 20 && clean.length <= 1000)
+          segments += Segment(clean, weight)
+      }
+    }
+
+    val caseKeywords = Seq("申請", "爭議", "糾紛", "案件", "法庭", "法院", "判決", "命令", "裁定")
+    val paragraphs = Py.resplit("""\n\s*\n""", text)
+    var stop = false
+    for (paragraph <- paragraphs if !stop) {
+      if (paragraph.length >= 150 && paragraph.length <= 1500 &&
+          caseKeywords.exists(paragraph.contains)) {
+        val clean = cleanComprehensiveContent(paragraph)
+        if (clean.length >= 80 && clean.length <= 1200) {
+          segments += Segment(clean, 2)
+          if (segments.length >= 8) stop = true
+        }
+      }
+    }
+
+    combineComprehensiveSegments(segments.toList, 2500)
+  }
+
+  /** `_clean_comprehensive_content` (`src/extractor.py:1782-1802`). */
+  def cleanComprehensiveContent(content: String): String = {
+    if (content == null || content.isEmpty) return ""
+    var c = Py.sub("""\s+""", " ", Py.strip(content))
+    c = Py.sub("""\s*-\s*\d+\s*-\s*""", " ", c)
+    c = Py.sub("""\s*_{3,}\s*""", " ", c)
+    c = Py.sub("""\s*(?:page|頁)\s*\d+.*$""", "", c, I)
+    c = Py.sub("""^\s*(?:\d+\.\s*)?""", "", c)
+    c = Py.sub("""^[,;.:\s]+""", "", c)
+    c = Py.sub("""[.\s]+$""", "", c)
+    Py.strip(c)
+  }
+
+  /** `_combine_comprehensive_segments` (`src/extractor.py:1804-1844`):
+    * stable weight-desc sort, 30-char-prefix dedupe, budgeted concat
+    * (≤5 segments; later smaller segments may still fit — no break on a
+    * budget miss). */
+  def combineComprehensiveSegments(segments: List[Segment], maxLength: Int): String = {
+    if (segments.isEmpty) return ""
+    val sorted = segments.sortBy(-_.weight) // stable, like Python list.sort
+
+    val selected = scala.collection.mutable.ListBuffer.empty[String]
+    var total = 0
+    var stop = false
+    for (seg <- sorted if !stop) {
+      val content = seg.content
+      if (content.nonEmpty) {
+        val dup = selected.exists(ex =>
+          content.length > 30 && ex.length > 30 && content.take(30) == ex.take(30))
+        if (!dup && total + content.length <= maxLength) {
+          selected += content
+          total += content.length
+          if (selected.length >= 5) stop = true
+        }
+      }
+    }
+
+    if (selected.isEmpty) return ""
+    val result = selected.mkString(" | ")
+    if (result.length > maxLength) Py.sliceTo(result, maxLength - 3) + "..."
+    else result
+  }
+}

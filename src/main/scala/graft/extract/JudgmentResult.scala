@@ -1,0 +1,119 @@
+package graft.extract
+
+import graft.text.Py
+import graft.text.Py.{I, S}
+
+/** P22 — judgment-result extraction over the last-15% window
+  * (`/root/reference/src/extractor.py:1918-2107`). */
+object JudgmentResult {
+
+  def extract(text: String, language: String): String = {
+    val totalChars = text.length
+    // last 15% but at least the last 5000 chars (src/extractor.py:1924-1926)
+    val start = math.max(totalChars * 85 / 100, totalChars - 5000)
+    val section = Py.sliceFrom(text, start)
+    if (language == "english") extractFocusedEnglish(section)
+    else extractFocusedChinese(section)
+  }
+
+  private val orderPatterns = Seq(
+    """(?:ORDER|ORDERS|JUDGMENT|CONCLUSION|DISPOSITION)\s*[:\.]?\s*\n((?:[^\n]+\n?){2,12})""",
+    """(?:IT IS ORDERED|I ORDER|THE COURT ORDERS?)\s*[:\.]?\s*((?:[^\n]+\n?){1,8})""",
+    """(?:For (?:these reasons|the foregoing reasons)|Accordingly|Therefore)\s*[,.]?\s*([^\n.]{30,500})""",
+    """(I (?:make an )?[Oo]rder[^.]*?(?:that|in terms of)[^.]*?[.\n])""",
+    """(I (?:would )?(?:make|grant|allow|dismiss|refuse)[^.]*?(?:order|application|claim)[^.]*?[.\n])""",
+    """([Bb]ased on the above[^.]*?[Oo]rder[^.]*?[.\n])""",
+    """([Ii]n conclusion[^.]*?(?:order|grant|dismiss|allow)[^.]*?[.\n])""",
+    """([Ff]or the (?:above )?reasons?[^.]*?(?:order|grant|dismiss|allow)[^.]*?[.\n])""")
+
+  private val decisionPatterns = Seq(
+    """((?:dismiss|grant|refuse|allow|upheld|affirmed).*?(?:application|claim|appeal|action))""",
+    """((?:Judgment|judgment)\s+(?:be\s+)?entered\s+for.*?)""",
+    """(I\s+(?:dismiss|grant|order|hold|refuse|allow).*?)""",
+    """((?:The\s+)?(?:application|appeal|claim)\s+(?:is|shall be)\s+(?:granted|dismissed|refused|allowed).*?)""",
+    """((?:The\s+)?[Dd]efendants?.*?(?:pay|liable|responsible)[^.]*?(?:costs|damages|compensation)[^.]*?[.\n])""",
+    """((?:The\s+)?[Pp]laintiffs?.*?(?:entitled|succeed)[^.]*?[.\n])""",
+    """([Ss]ummary judgment.*?(?:granted|entered|allowed)[^.]*?[.\n])""",
+    """([Cc]osts.*?(?:assessed|taxed|awarded)[^.]*?[.\n])""",
+    """([Ii]nterest.*?(?:awarded|granted|payable)[^.]*?[.\n])""",
+    """([Aa]pplication.*?(?:granted|dismissed|refused|allowed)[^.]*?[.\n])""")
+
+  /** `_extract_judgment_result_focused` (`src/extractor.py:1941-2022`). */
+  def extractFocusedEnglish(section: String): String = {
+    if (section == null || section.length < 100) return ""
+    val segments = scala.collection.mutable.ListBuffer.empty[String]
+
+    for (p <- orderPatterns) {
+      for ((g1, _, _) <- Py.findIter(p, section, I | S).take(2)) {
+        val clean = cleanJudgmentContent(g1)
+        if (clean.length >= 20 && clean.length <= 1000) segments += clean
+      }
+    }
+    for (p <- decisionPatterns) {
+      for ((g1, _, _) <- Py.findIter(p, section, I).take(2)) {
+        val clean = cleanJudgmentContent(g1)
+        if (clean.length >= 15 && clean.length <= 800) segments += clean
+      }
+    }
+
+    combine(segments.toList, prefixLen = 30, maxSegments = 4, maxLen = 2500)
+  }
+
+  /** `_extract_chinese_judgment_result_focused` (`src/extractor.py:2024-2085`). */
+  def extractFocusedChinese(section: String): String = {
+    if (section == null || section.length < 100) return ""
+    val segments = scala.collection.mutable.ListBuffer.empty[String]
+
+    val orderZh = Seq(
+      """(?:命令|判令|裁定|判決|判决)\s*[：:.]?\s*\n((?:[^\n]+\n?){2,10})""",
+      """(?:本庭|法庭|法院)\s*(?:命令|判令|裁定|判決|判决)\s*([^\n。]{15,400})""",
+      """(?:綜上所述|因此|故此|據此)\s*[，,：:.]*\s*([^\n。]{20,400})""")
+    for (p <- orderZh) {
+      for ((g1, _, _) <- Py.findIter(p, section).take(2)) {
+        val clean = cleanJudgmentContent(g1)
+        if (clean.length >= 10 && clean.length <= 800) segments += clean
+      }
+    }
+
+    val decisionZh = Seq(
+      """((?:批准|拒絕|駁回|允許|准許|不准).*?(?:申請|請求|上訴))""",
+      """((?:勝訴|敗訴|得直|不得直).*?)""",
+      """((?:撤回|撤訴).*?)""")
+    for (p <- decisionZh) {
+      for ((g1, _, _) <- Py.findIter(p, section).take(2)) {
+        val clean = cleanJudgmentContent(g1)
+        if (clean.length >= 8 && clean.length <= 600) segments += clean
+      }
+    }
+
+    combine(segments.toList, prefixLen = 20, maxSegments = 4, maxLen = 2000)
+  }
+
+  private def combine(segments: List[String], prefixLen: Int,
+                      maxSegments: Int, maxLen: Int): String = {
+    if (segments.isEmpty) return ""
+    val unique = scala.collection.mutable.ListBuffer.empty[String]
+    for (seg <- segments) {
+      val dup = unique.exists(ex =>
+        seg.nonEmpty && ex.nonEmpty && seg.take(prefixLen) == ex.take(prefixLen))
+      if (!dup) unique += seg
+    }
+    val capped = if (unique.length > maxSegments) unique.take(maxSegments) else unique
+    val result = capped.mkString(" | ")
+    if (result.length > maxLen) Py.sliceTo(result, maxLen - 3) + "..."
+    else result
+  }
+
+  /** `_clean_judgment_content` (`src/extractor.py:2087-2107`). */
+  def cleanJudgmentContent(content: String): String = {
+    if (content == null || content.isEmpty) return ""
+    var c = Py.sub("""\s+""", " ", Py.strip(content))
+    c = Py.sub("""\s*-\s*\d+\s*-\s*""", " ", c)
+    c = Py.sub("""\s*_{3,}\s*""", " ", c)
+    c = Py.sub("""\s*(?:page|頁)\s*\d+.*$""", "", c, I)
+    c = Py.sub("""^\s*(?:\d+\.\s*)?""", "", c)
+    c = Py.sub("""^[,;.:\s]+""", "", c)
+    c = Py.sub("""[.\s]+$""", "", c)
+    Py.strip(c)
+  }
+}

@@ -1,0 +1,177 @@
+package graft.text
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.regex.{Matcher, Pattern}
+
+/** Python-`re` / `str` compatibility layer.
+  *
+  * The reference engine (`/root/reference/src/extractor.py`) is Python; its
+  * extraction semantics depend on Python string/regex behavior. This object
+  * reproduces exactly the subset used there so the pure-Scala kernel is
+  * bit-compatible:
+  *
+  *  - `\s`/`\w`/`\d` are Unicode-aware in Python 3 → compile with
+  *    [[Pattern.UNICODE_CHARACTER_CLASS]].
+  *  - `re.IGNORECASE` on `str` is Unicode-aware → CASE_INSENSITIVE +
+  *    UNICODE_CASE.
+  *  - `str.split(sep)` keeps trailing empty fields (`"a\n".split("\n") ==
+  *    ["a",""]`) → Java `split(sep, -1)`.
+  *  - `re.findall` returns group(1) when the pattern has exactly one group,
+  *    whole matches with zero groups, tuples with >1 groups.
+  *  - `re.sub(p, r, s, count)` — several reference call sites pass
+  *    `re.IGNORECASE` (== 2) positionally where `count` is expected
+  *    (e.g. `src/extractor.py:1462,1534,1538`), making the substitution
+  *    case-SENSITIVE with at most 2 replacements; [[subN]] reproduces that.
+  *  - Python slicing clamps out-of-range indices → [[slice]].
+  *
+  * Patterns are compiled once per JVM (concurrent cache) — the analogue of
+  * the reference's one-extractor-per-worker precompilation
+  * (`src/parallel_processor.py:344-347`).
+  */
+object Py {
+  final val I = Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
+  final val S = Pattern.DOTALL
+  final val M = Pattern.MULTILINE
+
+  private val cache = new ConcurrentHashMap[(String, Int), Pattern]()
+
+  def pattern(p: String, flags: Int = 0): Pattern = {
+    val key = (p, flags)
+    var pat = cache.get(key)
+    if (pat == null) {
+      pat = Pattern.compile(p, flags | Pattern.UNICODE_CHARACTER_CLASS)
+      cache.putIfAbsent(key, pat)
+    }
+    pat
+  }
+
+  /** `re.search(p, s, flags)` → first match's group(1) if the pattern has
+    * groups else group(0); None when no match (or the group didn't
+    * participate). */
+  def search1(p: String, s: String, flags: Int = 0): Option[String] = {
+    val m = pattern(p, flags).matcher(s)
+    if (m.find()) Option(if (m.groupCount() >= 1) m.group(1) else m.group(0))
+    else None
+  }
+
+  /** `re.search` returning the whole Matcher-style groups: group(0) plus all
+    * capture groups (null where unmatched). */
+  def searchGroups(p: String, s: String, flags: Int = 0): Option[IndexedSeq[String]] = {
+    val m = pattern(p, flags).matcher(s)
+    if (m.find()) Some((0 to m.groupCount()).map(i => m.group(i))) else None
+  }
+
+  /** `re.search(...)` start/end positions of the whole match. */
+  def searchSpan(p: String, s: String, flags: Int = 0): Option[(Int, Int)] = {
+    val m = pattern(p, flags).matcher(s)
+    if (m.find()) Some((m.start(), m.end())) else None
+  }
+
+  /** `re.match(p, s, flags)` — anchored at the start (NOT fullmatch). */
+  def matches(p: String, s: String, flags: Int = 0): Boolean =
+    pattern(p, flags).matcher(s).lookingAt()
+
+  /** `bool(re.search(p, s, flags))`. */
+  def contains(p: String, s: String, flags: Int = 0): Boolean =
+    pattern(p, flags).matcher(s).find()
+
+  /** `re.findall` for patterns with exactly one capture group (or zero →
+    * whole match). Unmatched optional group yields "" like Python. */
+  def findAll(p: String, s: String, flags: Int = 0): List[String] = {
+    val m = pattern(p, flags).matcher(s)
+    val out = List.newBuilder[String]
+    while (m.find()) {
+      val g = if (m.groupCount() >= 1) m.group(1) else m.group(0)
+      out += (if (g == null) "" else g)
+    }
+    out.result()
+  }
+
+  /** `re.findall` for multi-group patterns → list of group tuples
+    * (unmatched group → "" as in Python). */
+  def findAllGroups(p: String, s: String, flags: Int = 0): List[IndexedSeq[String]] = {
+    val m = pattern(p, flags).matcher(s)
+    val out = List.newBuilder[IndexedSeq[String]]
+    while (m.find()) {
+      out += (1 to m.groupCount()).map { i =>
+        val g = m.group(i); if (g == null) "" else g
+      }
+    }
+    out.result()
+  }
+
+  /** `re.finditer` → (group1-or-0, start, end) triples. */
+  def findIter(p: String, s: String, flags: Int = 0): List[(String, Int, Int)] = {
+    val m = pattern(p, flags).matcher(s)
+    val out = List.newBuilder[(String, Int, Int)]
+    while (m.find()) {
+      val g = if (m.groupCount() >= 1) m.group(1) else m.group(0)
+      out += ((if (g == null) "" else g, m.start(), m.end()))
+    }
+    out.result()
+  }
+
+  /** `re.sub(p, repl, s)` with a *literal* replacement (no backrefs). */
+  def sub(p: String, repl: String, s: String, flags: Int = 0): String =
+    pattern(p, flags).matcher(s).replaceAll(Matcher.quoteReplacement(repl))
+
+  /** `re.sub` with Python-style backreferences `\1` in the replacement. */
+  def subRef(p: String, pyRepl: String, s: String, flags: Int = 0): String = {
+    val javaRepl = pyRepl.replaceAll("""\\(\d)""", """\$$1""")
+    pattern(p, flags).matcher(s).replaceAll(javaRepl)
+  }
+
+  /** `re.sub(p, repl, s, count)` — at most `count` replacements, literal
+    * replacement. Mirrors the reference's flags-as-count bug sites. */
+  def subN(p: String, repl: String, s: String, count: Int, flags: Int = 0): String = {
+    val m = pattern(p, flags).matcher(s)
+    val sb = new java.lang.StringBuilder
+    var n = 0
+    while (n < count && m.find()) {
+      m.appendReplacement(sb, Matcher.quoteReplacement(repl))
+      n += 1
+      // Python allows an empty match adjacent to the previous one but never
+      // two empty matches at the same position; Java's find() already
+      // advances past empty matches, matching Python 3.7+ behavior for our
+      // replacement="" use sites.
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  /** `re.split(p, s)` — keeps empty fields like Python. */
+  def resplit(p: String, s: String, flags: Int = 0): List[String] =
+    pattern(p, flags).split(s, -1).toList
+
+  /** `str.split(sep)` — plain (non-regex) split keeping trailing empties. */
+  def split(s: String, sep: String): List[String] =
+    s.split(Pattern.quote(sep), -1).toList
+
+  /** `str.split()` with no args — split on whitespace runs, no empties. */
+  def splitWs(s: String): List[String] = {
+    val t = s.strip()
+    if (t.isEmpty) Nil
+    else pattern("""\s+""").split(t).toList
+  }
+
+  /** Python slice `s[a:b]` with clamping; negative indices supported. */
+  def slice(s: String, from: Int, until: Int): String = {
+    val n = s.length
+    def norm(i: Int): Int = {
+      val j = if (i < 0) n + i else i
+      math.max(0, math.min(n, j))
+    }
+    val a = norm(from); val b = norm(until)
+    if (a >= b) "" else s.substring(a, b)
+  }
+  /** `s[a:]` */
+  def sliceFrom(s: String, from: Int): String = slice(s, from, s.length)
+  /** `s[:b]` */
+  def sliceTo(s: String, until: Int): String = slice(s, 0, until)
+
+  /** Python `str.strip()` — Unicode whitespace. */
+  def strip(s: String): String = s.strip()
+
+  /** Python floor division for possibly-negative operands. */
+  def floorDiv(a: Long, b: Long): Long = Math.floorDiv(a, b)
+}
