@@ -1,0 +1,144 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extract.ExtractAll
+import graft.model.{CaseRecord, Doc, OutSpans, PartitionLineage}
+
+/** The production extraction job (north rule):
+  *
+  *  - **Skew**: per-doc span bytes are computed with a higher-order
+  *    `aggregate` (no shuffle); docs above `skewThresholdBytes` are
+  *    round-robined across all partitions (`repartition` with no key) so a
+  *    range partition never owns several giants, while normal docs get
+  *    `repartitionByRange(doc_id)` for balanced, locality-friendly ranges.
+  *    The union keeps both children's partitioning (narrow), so the kernel
+  *    runs over giants-spread + range-balanced partitions.
+  *    (Reference failure mode: one 500-page PDF stalls a worker —
+  *    `src/parallel_processor.py:129-152` has no answer to this.)
+  *
+  *  - **Resume**: docs are bucketed by `pmod(xxhash64(doc_id), numBuckets)`;
+  *    the driver processes buckets in waves, writing records partitioned by
+  *    bucket with dynamic partition overwrite (a replayed wave overwrites
+  *    only its own buckets → idempotent), then appends one lineage row per
+  *    bucket. On restart, buckets with status='done' lineage are excluded
+  *    via left-anti join — the batch analogue the north rule asks for
+  *    (the reference reprocesses everything on rerun; its merge tool
+  *    `merge_json_files.py` is the manual workaround).
+  */
+object ExtractJob {
+
+  val DefaultSkewThresholdBytes: Long = 512 * 1024
+
+  /** Span bytes per doc as a Catalyst expression (no kernel invocation). */
+  def withDocBytes(docs: DataFrame): DataFrame =
+    docs.withColumn("doc_bytes",
+      aggregate(col("spans"), lit(0L), (acc, s) => acc + length(s.getField("text"))))
+
+  /** Skew-aware partitioning: giants round-robin, the rest range-partitioned. */
+  def partitionForExtraction(spark: SparkSession, docs: Dataset[Doc],
+                             numPartitions: Int,
+                             skewThresholdBytes: Long = DefaultSkewThresholdBytes): Dataset[Doc] = {
+    import spark.implicits._
+    val withBytes = withDocBytes(docs.toDF())
+    val big = withBytes.filter($"doc_bytes" >= skewThresholdBytes)
+      .drop("doc_bytes").as[Doc].repartition(numPartitions)
+    val small = withBytes.filter($"doc_bytes" < skewThresholdBytes)
+      .drop("doc_bytes").as[Doc].repartitionByRange(numPartitions, $"doc_id")
+    big.unionByName(small)
+  }
+
+  /** One-shot extraction (no lineage) — the bench/throughput path. */
+  def extractRecords(spark: SparkSession, docs: Dataset[Doc],
+                     numPartitions: Int): Dataset[CaseRecord] = {
+    import spark.implicits._
+    partitionForExtraction(spark, docs, numPartitions)
+      .mapPartitions(_.flatMap(ExtractAll.extractRecord))
+  }
+
+  def extractOutSpans(spark: SparkSession, docs: Dataset[Doc],
+                      numPartitions: Int): Dataset[OutSpans] = {
+    import spark.implicits._
+    partitionForExtraction(spark, docs, numPartitions)
+      .mapPartitions(_.map(ExtractAll.outSpans))
+  }
+
+  /** Resumable run. Returns the lineage rows appended by this invocation. */
+  def runResumable(spark: SparkSession, docs: Dataset[Doc], outDir: String,
+                   runId: String, numBuckets: Int = 32,
+                   bucketsPerWave: Int = 8): Seq[PartitionLineage] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    val lineagePath = s"$outDir/lineage"
+    val recordsPath = s"$outDir/records"
+
+    val doneBuckets: Set[Int] =
+      if (fsExists(spark, lineagePath)) {
+        spark.read.parquet(lineagePath)
+          .filter($"run_id" === runId && $"status" === "done")
+          .select($"partition_id").as[Int].collect().toSet
+      } else Set.empty
+
+    val bucketed = docs.toDF()
+      .withColumn("bucket", pmod(xxhash64($"doc_id"), lit(numBuckets)).cast("int"))
+
+    val appended = Seq.newBuilder[PartitionLineage]
+    val remaining = (0 until numBuckets).filterNot(doneBuckets)
+
+    for (wave <- remaining.grouped(bucketsPerWave)) {
+      val waveDf = bucketed.filter($"bucket".isin(wave: _*)).cache()
+      val started = System.currentTimeMillis()
+
+      val waveRecords = waveDf
+        .select($"doc_id", $"spans", $"bucket").as[(String, Seq[graft.model.Span], Int)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, spans, bucket) =>
+            ExtractAll.extractRecord(Doc(id, spans)).map(r => (bucket, r))
+          }
+        }
+        .map { case (bucket, r) => RecordWithBucket(bucket, r) }
+        .toDF()
+        .select($"bucket", $"r.*")
+
+      // Dynamic overwrite: replaying a killed wave rewrites only its buckets.
+      waveRecords.write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket").parquet(recordsPath)
+
+      // Per-bucket stats for lineage (docs/spans/bytes + id range).
+      val stats = waveDf.groupBy($"bucket").agg(
+        count(lit(1)).as("docs"),
+        sum(size($"spans")).as("spans"),
+        sum(aggregate($"spans", lit(0L), (acc, s) => acc + length(s.getField("text")))).as("bytes"),
+        min($"doc_id").as("doc_id_min"),
+        max($"doc_id").as("doc_id_max")
+      ).collect()
+
+      val finished = System.currentTimeMillis()
+      val rows = wave.map { b =>
+        val st = stats.find(_.getInt(0) == b)
+        PartitionLineage(
+          run_id = runId, partition_id = b,
+          doc_id_min = st.map(_.getString(4)).getOrElse(""),
+          doc_id_max = st.map(_.getString(5)).getOrElse(""),
+          docs = st.map(_.getLong(1)).getOrElse(0L),
+          spans = st.map(_.getLong(2)).getOrElse(0L),
+          bytes = st.map(_.getLong(3)).getOrElse(0L),
+          status = "done", started_at = started, finished_at = finished)
+      }
+      rows.toDS().write.mode(SaveMode.Append).parquet(lineagePath)
+      appended ++= rows
+      waveDf.unpersist()
+    }
+    appended.result()
+  }
+
+  private def fsExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}
+
+/** Flat carrier so the record columns survive a `select($"r.*")`. */
+final case class RecordWithBucket(bucket: Int, r: CaseRecord)

@@ -1,0 +1,170 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline._
+
+/** Pipeline-level tests: skew partitioning, resumable extraction, report
+  * aggregation, merge-dedupe, KG nodes/edges/similar-cases. */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-pipeline-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-test").toString
+
+  test("corpus generation is deterministic and skewed") {
+    import spark.implicits._
+    val a = CorpusGen.generate(spark, 50, 4).collect().sortBy(_.doc_id)
+    val b = CorpusGen.generate(spark, 50, 2).collect().sortBy(_.doc_id)
+    assert(a.map(_.doc_id).toSeq == b.map(_.doc_id).toSeq)
+    assert(a.zip(b).forall { case (x, y) => x == y },
+      "same seed+index must give identical docs regardless of parallelism")
+    val sizes = a.map(_.spans.map(_.text.length).sum)
+    assert(sizes.max > 10 * (sizes.sum / sizes.length), "corpus must contain giants")
+  }
+
+  test("skew-aware partitioning spreads giants and keeps every doc once") {
+    import spark.implicits._
+    val docs = CorpusGen.generate(spark, 200, 8)
+    val parted = ExtractJob.partitionForExtraction(spark, docs, 8, skewThresholdBytes = 100000)
+    assert(parted.count() == 200)
+    assert(parted.select("doc_id").distinct().count() == 200)
+    // giants (>=100KB) should not all land in one partition
+    val giantParts = parted
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.filter(_.spans.map(_.text.length.toLong).sum >= 100000).map(_ => pid)
+      }.distinct().collect()
+    assert(giantParts.length > 1, s"giants all in ${giantParts.toSeq}")
+  }
+
+  test("resumable extraction: second run skips done buckets, output complete") {
+    import spark.implicits._
+    val docs = CorpusGen.generate(spark, 120, 4).cache()
+    val out = tmpDir()
+
+    // First run: only 2 waves' worth by limiting buckets per wave and
+    // simulating a kill after wave 1 (run with a tiny bucket subset by
+    // doing a full run, then deleting some lineage to simulate partial).
+    val lineage1 = ExtractJob.runResumable(spark, docs, out, "run1", numBuckets = 8, bucketsPerWave = 4)
+    assert(lineage1.map(_.partition_id).toSet == (0 until 8).toSet)
+    val n1 = spark.read.parquet(s"$out/records").count()
+
+    // Simulate a killed job: keep only wave-1 lineage (buckets 0-3), rerun.
+    val keep = spark.read.parquet(s"$out/lineage").filter(col("partition_id") < 4)
+    val lineageTrim = tmpDir() + "/lineage_keep"
+    keep.write.parquet(lineageTrim)
+    spark.read.parquet(lineageTrim).write.mode("overwrite").parquet(s"$out/lineage")
+
+    val lineage2 = ExtractJob.runResumable(spark, docs, out, "run1", numBuckets = 8, bucketsPerWave = 4)
+    assert(lineage2.map(_.partition_id).toSet == (4 until 8).toSet,
+      "resume must only process buckets without done lineage")
+
+    val n2 = spark.read.parquet(s"$out/records").count()
+    assert(n2 == n1, s"resumed output rows $n2 != full-run rows $n1")
+    // content equality against a direct one-shot extraction
+    val direct = ExtractJob.extractRecords(spark, docs, 4)
+    assert(spark.read.parquet(s"$out/records").select("doc_id").distinct().count()
+      == direct.select("doc_id").distinct().count())
+  }
+
+  test("report aggregations match the golden report") {
+    import spark.implicits._
+    val docs = DocsSource.fixtureJson(spark, "src/test/resources/fixtures/docs/*/*.json")
+    val records = docs.mapPartitions(_.flatMap(graft.extract.ExtractAll.extractRecord)).toDF().cache()
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val golden = mapper.readValue(
+      Files.readString(java.nio.file.Paths.get("src/test/resources/fixtures/golden/report.json")),
+      classOf[java.util.Map[String, Object]])
+
+    val langGolden = golden.get("language_distribution")
+      .asInstanceOf[java.util.Map[String, Number]]
+    val langGot = ReportJob.languageDistribution(records).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    langGolden.forEach((k, v) => assert(langGot(k) == v.longValue(), s"lang $k"))
+
+    val ctGolden = golden.get("case_type_distribution")
+      .asInstanceOf[java.util.Map[String, Number]]
+    val ctGot = ReportJob.caseTypeDistribution(records).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    ctGolden.forEach((k, v) => assert(ctGot.getOrElse(k, 0L) == v.longValue(), s"case_type $k"))
+
+    val fcGolden = golden.get("field_completeness")
+      .asInstanceOf[java.util.Map[String, java.util.Map[String, Number]]]
+    val fcRow = ReportJob.fieldCompleteness(records, ReportJob.reportFields).collect()(0)
+    ReportJob.reportFields.foreach { f =>
+      val expect = fcGolden.get(f).get("complete").longValue()
+      val got = fcRow.getAs[Long](f)
+      assert(got == expect, s"completeness $f: got $got expect $expect")
+    }
+  }
+
+  test("merge keeps first-set priority on file_name (J3)") {
+    import spark.implicits._
+    val a = Seq(("f1.pdf", "A1"), ("f2.pdf", "A2")).toDF("file_name", "payload")
+    val b = Seq(("f2.pdf", "B2"), ("f3.pdf", "B3")).toDF("file_name", "payload")
+    val merged = MergeJob.mergeCanonical(a, b).collect()
+    assert(merged.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("f1.pdf", "A1"), ("f2.pdf", "A2"), ("f3.pdf", "B3")))
+  }
+
+  test("parseMultipleParties mirrors reference semantics") {
+    assert(KgJob.parseMultipleParties("WONG TAI MAN") == Seq("WONG TAI MAN"))
+    assert(KgJob.parseMultipleParties(
+      "WONG TAI MAN (1st Plaintiff) | CHAN SIU MING (2nd Plaintiff)") ==
+      Seq("WONG TAI MAN", "CHAN SIU MING"))
+    assert(KgJob.parseMultipleParties("") == Seq.empty)
+    assert(KgJob.parseMultipleParties("A CO (Defendant)") == Seq("A CO"))
+  }
+
+  test("KG nodes/edges: SUES cross-product cardinality and dedupe") {
+    import spark.implicits._
+    val records = Seq(
+      ("ACTION NO 1 OF 2020", "HIGH COURT", "Chan",
+        "P1 (1st Plaintiff) | P2 (2nd Plaintiff)", "D1 (1st Defendant) | D2 (2nd Defendant)",
+        "Mr John Tse, instructed by Wong & Co, for the plaintiff", "f1.pdf"),
+      ("ACTION NO 2 OF 2020", "HIGH COURT", "Chan",
+        "P1", "D3", "", "f2.pdf")
+    ).toDF("case_number", "court_name", "judge", "plaintiff", "defendant", "lawyer", "file_name")
+
+    val nodes = KgJob.nodes(records)
+    val edges = KgJob.edges(records)
+    // P1 appears in two cases but is one node
+    assert(nodes.filter(col("type") === "Plaintiff").count() == 2)
+    assert(nodes.filter(col("type") === "Court").count() == 1)
+    // SUES: 2x2 for case 1 + 1x1 for case 2 = 5
+    assert(edges.filter(col("rel_type") === "SUES").count() == 5)
+    assert(edges.filter(col("rel_type") === "HEARD_IN").count() == 2)
+    val stats = KgJob.nodeStatistics(nodes).collect()
+    assert(stats.head.getLong(1) >= stats.last.getLong(1))
+  }
+
+  test("similar cases: theta self-join + per-case top-10 (J2)") {
+    import spark.implicits._
+    val cases = Seq(
+      ("c1", "Action", "HIGH COURT", "granted", 100000.0),
+      ("c2", "Action", "HIGH COURT", "granted", 150000.0),
+      ("c3", "Action", "HIGH COURT", "dismissed", 120000.0),
+      ("c4", "Application", "DISTRICT COURT", "granted", 99999999.0)
+    ).toDF("case_key", "case_type", "court_name", "judgment_result", "claim_value")
+
+    val sims = KgJob.similarCases(cases, threshold = 0.7)
+    val c1 = sims.filter(col("a_key") === "c1").collect()
+    // c2: 0.4+0.2+0.2+0.2 = 1.0; c3: 0.4+0.2+0+0.2 = 0.8; c4: 0.2 only
+    assert(c1.map(_.getAs[String]("b_key")).toSet == Set("c2", "c3"))
+    val top = c1.maxBy(_.getAs[Double]("similarity"))
+    assert(top.getAs[String]("b_key") == "c2")
+  }
+}
