@@ -1,24 +1,90 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.pipeline.{CorpusGen, DocsSource, ExtractJob}
+
+/** Benchmark main (driver contract): times the headline queries at
+  * `SPARK_GRAFT_SF_DIR` and the extraction kernel's throughput over a
+  * parquet-staged synthetic corpus, printing ONE JSON line.
+  *
+  * Actions use the `noop` sink so the full plan materializes without
+  * write-side effects; the extraction corpus is staged to parquet first so
+  * the timed section measures scan→kernel, not corpus generation. */
 object Bench {
+
+  def timeIt[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      // ~8MB corpus files must not bin-pack into 2-3 scan partitions: the
+      // scan+shuffle-write stage would serialize (measured 4.5/32 cores busy)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val headline = Seq(
+      "q_pricing_summary", "q_revenue_by_segment", "q_top_orders_per_cust",
+      "q_similar_docs", "q_events_hourly", "q_dedup_exact", "q_dedup_minhash",
+      "q_dedup_simhash", "q_ann_cosine", "q_ann_lsh_topk", "q_fingerprint",
+      "q_quality_score")
+
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t = try timeIt(noop(fn(spark, sfDir)))._2 catch { case _: Throwable => -1.0 }
+      name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Extraction throughput: stage corpus once, then time scan→kernel→noop.
+    val nDocs = SparkEntry.corpusSize(sfDir)
+    val corpusPath = s"/tmp/graft_bench_corpus_$nDocs"
+    if (!new java.io.File(corpusPath).exists()) {
+      CorpusGen.generate(spark, nDocs, cpus.toInt)
+        .write.mode("overwrite").parquet(corpusPath)
+    }
+    val docs = DocsSource.parquet(spark, corpusPath)
+    val stats = ExtractJob.withDocBytes(docs.toDF())
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("spans"))),
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("doc_bytes")))
+      .collect()(0)
+    val (totalDocs, totalSpans, totalBytes) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+
+    val (_, warm) = timeIt(noop(
+      ExtractJob.extractRecords(spark, docs, cpus.toInt).toDF()))
+    val (_, tExtract) = timeIt(noop(
+      ExtractJob.extractRecords(spark, docs, cpus.toInt).toDF()))
+    val (_, tSpans) = timeIt(noop(
+      ExtractJob.extractOutSpans(spark, docs, cpus.toInt).toDF()))
+
+    val docsPerSec = totalDocs / math.max(tExtract, 1e-9)
+    val spansPerSec = totalSpans / math.max(tExtract, 1e-9)
+    val charsPerSec = totalBytes / math.max(tExtract, 1e-9)
+
+    val queryTimes = results :+ ("extract_records" -> tExtract) :+
+      ("extract_spans" -> tSpans) :+ ("extract_warmup" -> warm)
+    val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = queryTimes.map(_._2).filter(_ >= 0).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extraction":{"docs":$totalDocs,"spans":$totalSpans,"chars":$totalBytes,"docs_per_sec":$docsPerSec%.1f,"spans_per_sec":$spansPerSec%.1f,"chars_per_sec":$charsPerSec%.1f},"cpus":$cpus}""")
     spark.stop()
   }
 }

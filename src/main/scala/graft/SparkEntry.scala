@@ -1,13 +1,647 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.extract.ExtractAll
+import graft.pipeline.{CorpusGen, ExtractJob, ReportJob}
+
+/** Driver contract (see SURVEY.md §7 and the per-operator inventory §2).
+  *
+  * Each `queries` entry is one operator family from SURVEY.md §2 expressed
+  * Spark-first; `oracleSql` carries the DuckDB-equivalent ANSI SQL over the
+  * same parquet tables. Column names and ordering are aligned on both sides
+  * (the driver's compare sorts columns by name and hashes values).
+  *
+  * Float discipline: any aggregated float is summed as DECIMAL (exact, so
+  * partial-aggregation order can't change the result) and cast back to
+  * DOUBLE; cosines are rounded to 4dp before ranking with a deterministic
+  * id tiebreak. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Register the testdata tables as temp views for spark.sql queries. */
+  private def views(s: SparkSession, dir: String): Unit = {
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "events", "documents", "embeddings")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+  }
+
+  /** Deterministic synthetic-corpus size per scale factor directory. */
+  def corpusSize(dir: String): Long = {
+    val sf = """sf([0-9.]+)""".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+    math.max(500L, (sf * 100000).toLong)
+  }
+
+  /** Flagship: full extraction over the synthetic corpus at sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = CorpusGen.generate(spark, 500, 8)
+    ExtractJob.extractRecords(spark, docs, 8).toDF()
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A-class aggregations -------------------------------------------------
+    "q_pricing_summary" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q_lang_dist" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))),
+
+    "q_source_dist" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .orderBy(col("source"))),
+
+    "q_doc_completeness" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.agg(
+        count(lit(1)).as("total"),
+        sum(when(trim(coalesce(col("text"), lit(""))) =!= "", 1).otherwise(0)).as("text_complete"),
+        sum(when(trim(coalesce(col("lang"), lit(""))) =!= "", 1).otherwise(0)).as("lang_complete"),
+        sum(when(trim(coalesce(col("source"), lit(""))) =!= "", 1).otherwise(0)).as("source_complete"))
+    }),
+
+    // J-class joins / set ops ----------------------------------------------
+    "q_customers_no_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val bigOrders = o.filter(col("o_totalprice") > 300000)
+      c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_revenue_by_segment" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q_merge_dedupe" -> ((s, dir) => {
+      // J3: union-with-first-priority on a key (merge_json_files.py:41-62),
+      // modeled over documents split into two overlapping result sets.
+      val d = t(s, dir, "documents")
+      val first = d.filter(col("doc_id") < 300).select(col("doc_id"), col("source"))
+      val second = d.filter(col("doc_id") >= 200)
+        .select(col("doc_id"), concat(col("source"), lit("_v2")).as("source"))
+      val newOnly = second.join(first.select("doc_id"), Seq("doc_id"), "left_anti")
+      first.unionByName(newOnly).orderBy(col("doc_id"))
+    }),
+
+    // W-class windows / top-k ----------------------------------------------
+    "q_top_orders_per_cust" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    "q_similar_docs" -> ((s, dir) => {
+      // J2: theta self-join + per-key top-k (graph_database.py:240-271 shape)
+      val d = t(s, dir, "documents")
+      val a = d.filter(col("doc_id") < 50).select(
+        col("doc_id").as("a_id"), col("lang").as("a_lang"),
+        col("source").as("a_source"), col("n_chars").as("a_n"))
+      val b = d.select(
+        col("doc_id").as("b_id"), col("lang").as("b_lang"),
+        col("source").as("b_source"), col("n_chars").as("b_n"))
+      val sim = when(col("a_lang") === col("b_lang"), 0.5).otherwise(0.0) +
+        when(col("a_source") === col("b_source"), 0.3).otherwise(0.0) +
+        when(abs(col("a_n") - col("b_n")) < 100, 0.2).otherwise(0.0)
+      val w = Window.partitionBy(col("a_id")).orderBy(desc("similarity"), col("b_id"))
+      a.join(broadcast(b), col("a_id") =!= col("b_id"))
+        .withColumn("similarity", sim)
+        .filter(col("similarity") >= 0.5)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("a_id"), col("b_id"), col("similarity"), col("rn"))
+        .orderBy(col("a_id"), col("rn"))
+    }),
+
+    // Dedup family ---------------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) => {
+      views(s, dir)
+      s.sql("""
+        WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)
+        SELECT md5(lower(regexp_replace(text, '\\s+', ' '))) AS fp,
+               count(*) AS dup_count, min(doc_id) AS keep_id
+        FROM all_docs
+        GROUP BY 1 HAVING count(*) > 1
+        ORDER BY fp""")
+    }),
+
+    "q_dedup_minhash" -> ((s, dir) => {
+      views(s, dir)
+      s.sql("""
+        WITH tokens AS (
+          SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS tok
+          FROM documents),
+        sigs AS (
+          SELECT doc_id,
+                 min(md5(concat('0#', tok))) AS h0,
+                 min(md5(concat('1#', tok))) AS h1,
+                 min(md5(concat('2#', tok))) AS h2,
+                 min(md5(concat('3#', tok))) AS h3
+          FROM tokens GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, md5(concat(h0, h1)) AS b0, md5(concat(h2, h3)) AS b1
+          FROM sigs),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+          UNION
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b FROM pairs WHERE doc_a < 25 ORDER BY doc_a, doc_b""")
+    }),
+
+    "q_dedup_simhash" -> ((s, dir) => {
+      views(s, dir)
+      s.sql("""
+        WITH tokens AS (
+          SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS tok
+          FROM documents),
+        bits AS (SELECT explode(sequence(0, 15)) AS b),
+        contrib AS (
+          SELECT doc_id, b,
+                 CASE WHEN substring(md5(concat(cast(b AS string), '#', tok)), 1, 1) >= '8'
+                      THEN 1 ELSE -1 END AS c
+          FROM tokens CROSS JOIN bits),
+        simbits AS (
+          SELECT doc_id, b, CASE WHEN sum(c) >= 0 THEN 1 ELSE 0 END AS bit
+          FROM contrib GROUP BY doc_id, b)
+        SELECT doc_id, cast(sum(bit * shiftleft(1L, b)) AS bigint) AS simhash
+        FROM simbits GROUP BY doc_id ORDER BY doc_id""")
+    }),
+
+    "q_dedup_ngram" -> ((s, dir) => {
+      views(s, dir)
+      s.sql("""
+        WITH norm AS (
+          SELECT doc_id, lang, lower(regexp_replace(text, '\\s+', ' ')) AS nt
+          FROM documents),
+        tri AS (
+          SELECT DISTINCT doc_id, lang, substring(nt, i, 3) AS g
+          FROM norm
+          LATERAL VIEW explode(sequence(1, greatest(length(nt) - 2, 1))) t AS i),
+        sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE a.doc_id < 30
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b,
+               cast(inter AS double) / (sa.n + sb.n - inter) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE cast(inter AS double) / (sa.n + sb.n - inter) > 0.6
+        ORDER BY doc_a, doc_b""")
+    }),
+
+    // Similarity search ----------------------------------------------------
+    "q_ann_cosine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val dotExpr = (x: Column, y: Column) =>
+        aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val joined = q.join(broadcast(c), col("q_id") =!= col("n_id"))
+        .withColumn("dot", dotExpr(col("q_emb"), col("n_emb")))
+        .withColumn("qn", sqrt(dotExpr(col("q_emb"), col("q_emb"))))
+        .withColumn("nn", sqrt(dotExpr(col("n_emb"), col("n_emb"))))
+        .withColumn("sim", round(col("dot") / (col("qn") * col("nn")), 4))
+      val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("n_id"))
+      joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("n_id"), col("sim"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    "q_ann_lsh_bucket" -> ((s, dir) => {
+      // Axis-aligned hyperplane LSH: bucket = sign bits of dims 1..8.
+      val e = t(s, dir, "embeddings")
+      val bucket = (1 to 8).map(i =>
+        when(element_at(col("embedding"), i) > 0, 1 << (i - 1)).otherwise(0))
+        .reduce(_ + _)
+      e.withColumn("bucket", bucket)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("rep"))
+        .orderBy(col("bucket"))
+    }),
+
+    "q_ann_lsh_topk" -> ((s, dir) => {
+      // The scale path: candidates restricted to the query's LSH bucket,
+      // then exact cosine top-3 within the bucket.
+      val e = t(s, dir, "embeddings")
+      val bucket = (1 to 8).map(i =>
+        when(element_at(col("embedding"), i) > 0, 1 << (i - 1)).otherwise(0))
+        .reduce(_ + _)
+      val withB = e.withColumn("bucket", bucket)
+      val dotExpr = (x: Column, y: Column) =>
+        aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      val q = withB.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+      val c = withB.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("bucket"))
+      val joined = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
+        .withColumn("dot", dotExpr(col("q_emb"), col("n_emb")))
+        .withColumn("qn", sqrt(dotExpr(col("q_emb"), col("q_emb"))))
+        .withColumn("nn", sqrt(dotExpr(col("n_emb"), col("n_emb"))))
+        .withColumn("sim", round(col("dot") / (col("qn") * col("nn")), 4))
+      val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("n_id"))
+      joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("bucket"), col("n_id"), col("sim"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // Text analysis --------------------------------------------------------
+    "q_lang_id" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def hits(words: String): Column =
+        size(regexp_extract_all(lower(col("text")), lit(s"\\b(?:$words)\\b"), lit(0)))
+      val en = hits("the|and|of|to|a")
+      val de = hits("der|und|die|das|ein")
+      val fr = hits("le|la|et|les|un")
+      d.select(
+        col("doc_id"),
+        en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"),
+        when(en >= de && en >= fr, "en")
+          .when(de >= fr, "de").otherwise("fr").as("lang_guess"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_quality_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val nTokens = size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+      val nPunct = size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
+      val nStop = size(regexp_extract_all(lower(col("text")), lit("\\b(?:the|and|of|a|to)\\b"), lit(0)))
+      d.select(
+        col("doc_id"),
+        nTokens.as("n_tokens"),
+        nPunct.as("n_punct"),
+        nStop.as("n_stop"),
+        round(
+          least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.5 +
+          (lit(1.0) - least(nPunct.cast("double") / greatest(nTokens, lit(1)).cast("double"), lit(1.0))) * 0.25 +
+          least(nStop.cast("double") / greatest(nTokens, lit(1)).cast("double") * 5.0, lit(1.0)) * 0.25,
+          6).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_token_count" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .as("bpe_ish_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      views(s, dir)
+      s.sql("""
+        WITH norm AS (
+          SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ')) AS nt FROM documents),
+        shingles AS (
+          SELECT doc_id, md5(substring(nt, i, 8)) AS h
+          FROM norm
+          LATERAL VIEW explode(sequence(1, greatest(length(nt) - 7, 1))) t AS i),
+        agg AS (
+          SELECT doc_id, min(h) AS min_shingle, max(h) AS max_shingle
+          FROM shingles GROUP BY doc_id)
+        SELECT n.doc_id, md5(n.nt) AS fp, a.min_shingle, a.max_shingle
+        FROM norm n JOIN agg a ON n.doc_id = a.doc_id
+        ORDER BY n.doc_id""")
+    }),
+
+    // Events (streaming-analogue windowed aggregation) ---------------------
+    "q_events_hourly" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(25,6)")).cast("double").as("total"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
+    "q_events_top_users" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(25,6)")).cast("double").as("total"),
+          count(lit(1)).as("n_events"))
+        .orderBy(desc("total"), col("user_id"))
+        .limit(5)
+    }),
+
+    // Extraction engine (rows-only check — the golden suite is the real
+    // correctness gate for these; see GoldenExtractionSpec) ----------------
+    "q_extract_records" -> ((s, dir) => {
+      val docs = CorpusGen.generate(s, corpusSize(dir), 32)
+      ExtractJob.extractRecords(s, docs, 32).toDF()
+        .select(col("doc_id"), col("case_number"), col("plaintiff"),
+          col("defendant"), col("judge"), col("language"), col("document_type"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_extract_spans" -> ((s, dir) => {
+      val docs = CorpusGen.generate(s, corpusSize(dir), 32)
+      ExtractJob.extractOutSpans(s, docs, 32).toDF()
+        .select(col("doc_id"), explode(col("spans")).as("span"))
+        .select(col("doc_id"), col("span.kind"), col("span.media_ref"),
+          col("span.offset"), length(col("span.text")).as("text_len"))
+        .orderBy(col("doc_id"), col("offset"))
+    }),
+
+    "q_extract_report" -> ((s, dir) => {
+      val docs = CorpusGen.generate(s, corpusSize(dir), 32)
+      val records = ExtractJob.extractRecords(s, docs, 32).toDF()
+      ReportJob.fieldCompleteness(records, ReportJob.reportFields)
+    })
+  )
+
+  // ------------------------------------------------------------- oracleSql
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_lang_dist" ->
+      "SELECT lang, count(*) AS n FROM documents GROUP BY 1 ORDER BY lang",
+
+    "q_source_dist" ->
+      "SELECT source, count(*) AS n FROM documents GROUP BY 1 ORDER BY source",
+
+    "q_doc_completeness" ->
+      """SELECT count(*) AS total,
+        |  sum(CASE WHEN trim(coalesce(text, '')) <> '' THEN 1 ELSE 0 END) AS text_complete,
+        |  sum(CASE WHEN trim(coalesce(lang, '')) <> '' THEN 1 ELSE 0 END) AS lang_complete,
+        |  sum(CASE WHEN trim(coalesce(source, '')) <> '' THEN 1 ELSE 0 END) AS source_complete
+        |FROM documents""".stripMargin,
+
+    "q_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_revenue_by_segment" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_merge_dedupe" ->
+      """WITH set1 AS (
+        |  SELECT doc_id, source FROM documents WHERE doc_id < 300),
+        |set2 AS (
+        |  SELECT doc_id, concat(source, '_v2') AS source FROM documents WHERE doc_id >= 200)
+        |SELECT doc_id, source FROM set1
+        |UNION ALL
+        |SELECT doc_id, source FROM set2 s
+        |WHERE NOT EXISTS (SELECT 1 FROM set1 f WHERE f.doc_id = s.doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_top_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_similar_docs" ->
+      """WITH a AS (SELECT doc_id AS a_id, lang AS a_lang, source AS a_source, n_chars AS a_n
+        |           FROM documents WHERE doc_id < 50),
+        |b AS (SELECT doc_id AS b_id, lang AS b_lang, source AS b_source, n_chars AS b_n
+        |      FROM documents),
+        |scored AS (
+        |  SELECT a_id, b_id,
+        |    (CASE WHEN a_lang = b_lang THEN CAST(0.5 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END +
+        |     CASE WHEN a_source = b_source THEN CAST(0.3 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END +
+        |     CASE WHEN abs(a_n - b_n) < 100 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+        |    AS similarity
+        |  FROM a JOIN b ON a_id <> b_id),
+        |ranked AS (
+        |  SELECT a_id, b_id, similarity,
+        |    row_number() OVER (PARTITION BY a_id ORDER BY similarity DESC, b_id) AS rn
+        |  FROM scored WHERE similarity >= 0.5)
+        |SELECT a_id, b_id, similarity, rn FROM ranked WHERE rn <= 5
+        |ORDER BY a_id, rn""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |       count(*) AS dup_count, min(doc_id) AS keep_id
+        |FROM all_docs GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY fp""".stripMargin,
+
+    "q_dedup_minhash" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |sigs AS (
+        |  SELECT doc_id,
+        |         min(md5(concat('0#', tok))) AS h0,
+        |         min(md5(concat('1#', tok))) AS h1,
+        |         min(md5(concat('2#', tok))) AS h2,
+        |         min(md5(concat('3#', tok))) AS h3
+        |  FROM tokens GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, md5(concat(h0, h1)) AS b0, md5(concat(h2, h3)) AS b1 FROM sigs),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+        |  UNION
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b FROM pairs WHERE doc_a < 25 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |bits AS (SELECT unnest(range(0, 16)) AS b),
+        |contrib AS (
+        |  SELECT doc_id, b,
+        |         CASE WHEN substr(md5(concat(CAST(b AS VARCHAR), '#', tok)), 1, 1) >= '8'
+        |              THEN 1 ELSE -1 END AS c
+        |  FROM tokens CROSS JOIN bits),
+        |simbits AS (
+        |  SELECT doc_id, b, CASE WHEN sum(c) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM contrib GROUP BY doc_id, b)
+        |SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS simhash
+        |FROM simbits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lang, lower(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, lang, substr(nt, CAST(i AS INT), 3) AS g
+        |  FROM norm, unnest(range(1, CAST(greatest(length(nt) - 2, 1) AS BIGINT) + 1)) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM tri a JOIN tri b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id < 30
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) > 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_ann_cosine" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_emb FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, n_id,
+        |         round(list_cosine_similarity(q_emb, n_emb), 4) AS sim
+        |  FROM q JOIN c ON q_id <> n_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, sim,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |  FROM scored)
+        |SELECT q_id, n_id, sim, rn FROM ranked WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin,
+
+    "q_ann_lsh_bucket" ->
+      """SELECT bucket, count(*) AS n, min(vec_id) AS rep FROM (
+        |  SELECT vec_id,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END +
+        |     CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END +
+        |     CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END +
+        |     CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END +
+        |     CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END +
+        |     CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+        |  FROM embeddings) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ann_lsh_topk" ->
+      """WITH withb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END +
+        |     CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END +
+        |     CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END +
+        |     CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END +
+        |     CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END +
+        |     CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket FROM withb WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS n_id, emb AS n_emb, bucket FROM withb),
+        |scored AS (
+        |  SELECT q_id, q.bucket AS bucket, n_id,
+        |         round(list_cosine_similarity(q_emb, n_emb), 4) AS sim
+        |  FROM q JOIN c ON q.bucket = c.bucket AND q_id <> n_id),
+        |ranked AS (
+        |  SELECT q_id, bucket, n_id, sim,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |  FROM scored)
+        |SELECT q_id, bucket, n_id, sim, rn FROM ranked WHERE rn <= 3
+        |ORDER BY q_id, rn""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|a)\b')) AS en_hits,
+        |  len(regexp_extract_all(lower(text), '\b(?:der|und|die|das|ein)\b')) AS de_hits,
+        |  len(regexp_extract_all(lower(text), '\b(?:le|la|et|les|un)\b')) AS fr_hits,
+        |  CASE WHEN len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|a)\b'))
+        |            >= len(regexp_extract_all(lower(text), '\b(?:der|und|die|das|ein)\b'))
+        |        AND len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|a)\b'))
+        |            >= len(regexp_extract_all(lower(text), '\b(?:le|la|et|les|un)\b'))
+        |       THEN 'en'
+        |       WHEN len(regexp_extract_all(lower(text), '\b(?:der|und|die|das|ein)\b'))
+        |            >= len(regexp_extract_all(lower(text), '\b(?:le|la|et|les|un)\b'))
+        |       THEN 'de' ELSE 'fr' END AS lang_guess
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+        |  len(regexp_extract_all(lower(text), '\b(?:the|and|of|a|to)\b')) AS n_stop,
+        |  round(
+        |    least(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+        |    (1.0 - least(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+        |                 / CAST(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS DOUBLE), 1.0)) * 0.25 +
+        |    least(CAST(len(regexp_extract_all(lower(text), '\b(?:the|and|of|a|to)\b')) AS DOUBLE)
+        |          / CAST(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS DOUBLE) * 5.0, 1.0) * 0.25,
+        |    6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS nt FROM documents),
+        |shingles AS (
+        |  SELECT doc_id, md5(substr(nt, CAST(i AS INT), 8)) AS h
+        |  FROM norm, unnest(range(1, CAST(greatest(length(nt) - 7, 1) AS BIGINT) + 1)) AS t(i)),
+        |agg AS (
+        |  SELECT doc_id, min(h) AS min_shingle, max(h) AS max_shingle
+        |  FROM shingles GROUP BY doc_id)
+        |SELECT n.doc_id, md5(n.nt) AS fp, a.min_shingle, a.max_shingle
+        |FROM norm n JOIN agg a ON n.doc_id = a.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_events_top_users" ->
+      """SELECT user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY total DESC, user_id LIMIT 5""".stripMargin
+  )
 }

@@ -128,10 +128,38 @@ object Amounts {
     else base
   }
 
+  /** Required-literal guard per amount pattern: guard false ⟹ the
+    * (case-insensitive) regex cannot match, so skipping the scan is a pure
+    * speedup. Keys are checked against the lowercased window. */
+  private def patternGuards(p: String): Seq[String] = p match {
+    case s if s.startsWith("""HK\$""") => Seq("hk$")
+    case s if s.startsWith("""US\$""") => Seq("us$")
+    case s if s.startsWith("""USD?""") => Seq("us")
+    case s if s.startsWith("RMB") => Seq("rmb")
+    case s if s.contains("USD|HKD") => Seq("dollar", "usd", "hkd")
+    case s if s.contains("Hong Kong") => Seq("dollar")
+    case s if s.contains("sum of") => Seq("sum of")
+    case s if s.contains("amount of") => Seq("amount of")
+    case s if s.contains("principal sum") => Seq("principal sum")
+    case s if s.contains("outstanding balance") => Seq("outstanding balance")
+    case s if s.contains("dollars?|USD|HKD") => Seq("dollar", "usd", "hkd")
+    case s if s.contains("""\$[\d""") => Seq("$")
+    case s if s.startsWith("""[\d]{1,3}""") => Seq(",")
+    case s if s.startsWith("damages?") => Seq("damage")
+    case s if s.startsWith("compensation") => Seq("compensation")
+    case s if s.startsWith("costs?") => Seq("cost")
+    case s if s.contains("港幣|港币") => Seq("港", "美", "人民")
+    case s if s.contains("港元") => Seq("港元", "美元", "人民", "元")
+    case _ => Seq.empty // no safe guard — always scan
+  }
+
   /** `_find_potential_amounts` (`src/extractor.py:2382-2404`). */
   def findPotentialAmounts(text: String, patterns: Seq[String]): List[Candidate] = {
     val out = scala.collection.mutable.ListBuffer.empty[Candidate]
+    val lower = text.toLowerCase
     for (p <- patterns) {
+      val guards = patternGuards(p)
+      if (guards.isEmpty || guards.exists(lower.contains))
       for ((m, ms, me) <- Py.findIter(p, text, I)) {
         val start = math.max(0, ms - 150)
         val end = math.min(text.length, me + 150)

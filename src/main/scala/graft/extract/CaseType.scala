@@ -17,19 +17,28 @@ object CaseType {
     else extractChineseComprehensive(text)
   }
 
-  /** `_extract_english_case_type_comprehensive` (`src/extractor.py:1706-1780`). */
+  /** `_extract_english_case_type_comprehensive` (`src/extractor.py:1706-1780`).
+    * Each pattern carries a required-literal guard over the lowercased text:
+    * guard false ⟹ the (case-insensitive) regex cannot match, so skipping the
+    * scan is a pure speedup (validated by the golden suite). */
   def extractEnglishComprehensive(text: String): String = {
     val segments = scala.collection.mutable.ListBuffer.empty[Segment]
+    val lower = text.toLowerCase
 
     // Layer 1: key sections, weights 10..6, ≤2 matches each
     val keySectionPatterns = Seq(
-      ("""Introduction\s*[:\.]?\s*\n((?:[^\n]+\n){3,20})""", 10),
-      ("""(?:BACKGROUND|Background)\s*[:\.]?\s*\n((?:[^\n]+\n){5,25})""", 9),
-      ("""(?:FACTS?|Facts?)\s*[:\.]?\s*\n((?:[^\n]+\n){3,20})""", 8),
-      ("""(?:This is|These are)\s+(?:an?\s+)?(action|application|proceeding|matter|case|appeal|motion|summons)([^\n.]{20,300})""", 7),
-      ("""(?:The|This)\s+(?:plaintiff|applicant|defendant|appellant)\s+(?:seeks?|applies?|brings?|claims?)\s+([^\n.]{30,400})""", 6))
+      ("""Introduction\s*[:\.]?\s*\n((?:[^\n]+\n){3,20})""", 10,
+        Seq("introduction")),
+      ("""(?:BACKGROUND|Background)\s*[:\.]?\s*\n((?:[^\n]+\n){5,25})""", 9,
+        Seq("background")),
+      ("""(?:FACTS?|Facts?)\s*[:\.]?\s*\n((?:[^\n]+\n){3,20})""", 8,
+        Seq("fact")),
+      ("""(?:This is|These are)\s+(?:an?\s+)?(action|application|proceeding|matter|case|appeal|motion|summons)([^\n.]{20,300})""", 7,
+        Seq("this is", "these are")),
+      ("""(?:The|This)\s+(?:plaintiff|applicant|defendant|appellant)\s+(?:seeks?|applies?|brings?|claims?)\s+([^\n.]{30,400})""", 6,
+        Seq("plaintiff", "applicant", "defendant", "appellant")))
 
-    for ((p, weight) <- keySectionPatterns) {
+    for ((p, weight, guards) <- keySectionPatterns if guards.exists(lower.contains)) {
       val matches = Py.findIter(p, text, I | S).take(2)
       for ((g1, _, _) <- matches) {
         val clean = cleanComprehensiveContent(g1)
@@ -40,10 +49,13 @@ object CaseType {
 
     // Layer 2: judgment-context patterns, weights 5,4
     val judgmentContextPatterns = Seq(
-      ("""(?:ORDER|ORDERS|JUDGMENT|HELD|DISPOSITION)\s*[:\.]?\s*\n((?:[^\n]+\n){2,15})""", 5),
-      ("""(?:For (?:these reasons|the foregoing reasons)|Accordingly|In (?:conclusion|the result))\s*[,.]?\s*([^\n.]{50,500})""", 4))
+      ("""(?:ORDER|ORDERS|JUDGMENT|HELD|DISPOSITION)\s*[:\.]?\s*\n((?:[^\n]+\n){2,15})""", 5,
+        Seq("order", "judgment", "held", "disposition")),
+      ("""(?:For (?:these reasons|the foregoing reasons)|Accordingly|In (?:conclusion|the result))\s*[,.]?\s*([^\n.]{50,500})""", 4,
+        Seq("for these reasons", "for the foregoing reasons", "accordingly",
+          "in conclusion", "in the result")))
 
-    for ((p, weight) <- judgmentContextPatterns) {
+    for ((p, weight, guards) <- judgmentContextPatterns if guards.exists(lower.contains)) {
       val matches = Py.findIter(p, text, I | S).take(2)
       for ((g1, _, _) <- matches) {
         val clean = cleanComprehensiveContent(g1)

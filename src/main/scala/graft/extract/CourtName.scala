@@ -31,6 +31,10 @@ object CourtName {
 
   def extract(text: String, language: String): String = {
     if (language == "english") {
+      // every English pattern starts with literal "IN THE" and captures a
+      // "...COURT..." — absent those, no pattern can match (pure speedup)
+      val lower = text.toLowerCase
+      if (!lower.contains("in the") || !lower.contains("court")) return ""
       for (p <- englishPatterns) {
         Py.search1(p, text, I | S) match {
           case Some(raw) =>

@@ -34,13 +34,22 @@ object Judge {
     """(?i)\(([A-Z][A-Za-z]{2,}(?:\s+[A-Z][A-Za-z]+)+)\s*\)\s*(?:deputy\s+high\s+court\s+)?judge\s+of\s+the\s+court""",
     """(?i)\(([A-Z][A-Za-z]{2,}(?:\s+[A-Z][A-Za-z]+)+)\s*\)\s*recorder\s+of\s+the\s+high\s+court""")
 
-  /** `_extract_english_judge` (`src/extractor.py:1356-1435`). */
+  private val specialGuards = Seq(
+    Seq("recorder"), Seq("master"), Seq.empty, Seq("judge", "dhcj"))
+  private val alternativeGuards = Seq(
+    Seq("judge"), Seq("justice"), Seq("hon"), Seq("judge"), Seq("recorder"))
+
+  /** `_extract_english_judge` (`src/extractor.py:1356-1435`).
+    * Required-literal guards (case-insensitive): guard false => the pattern
+    * cannot match, skipping the 15k-char scan is a pure speedup. */
   def extractEnglishJudge(text: String): String = {
+    val lower = text.toLowerCase
     // Tier 1: special formats
-    for (p <- specialPatterns) {
-      val matches = Py.findAll(p, text)
-      if (matches.nonEmpty) {
-        val raw = Py.strip(matches.head)
+    for ((p, g) <- specialPatterns.zip(specialGuards)
+         if g.isEmpty || g.exists(lower.contains)) {
+      // findall()[0] ≡ first match (src/extractor.py:1375-1377) — stop early
+      Py.search1(p, text).foreach { m =>
+        val raw = Py.strip(m)
         if (raw.length >= 3 &&
             !Py.matches("""^(?:to|at|in|on|for|and|or|the|of|with|from)$""", raw, I)) {
           val clean = cleanJudgeNameEnhanced(raw)
@@ -48,11 +57,11 @@ object Judge {
         }
       }
     }
-    // Tier 2: Before: formats
+    // Tier 2: Before: formats — every pattern requires literal "before:"
+    if (lower.contains("before:"))
     for (p <- beforePatterns) {
-      val matches = Py.findAll(p, text)
-      if (matches.nonEmpty) {
-        val raw = Py.strip(matches.head)
+      Py.search1(p, text).foreach { m =>
+        val raw = Py.strip(m)
         if (raw.length >= 3 &&
             !Py.matches("""^(?:to|at|in|on|for|and|or|the|of|with|from|by|this|that|these|those)$""", raw, I) &&
             !Py.matches("""^(?:court|chambers|sitting|hearing|judgment|decision|order)$""", raw, I)) {
@@ -62,10 +71,10 @@ object Judge {
       }
     }
     // Tier 3: signature-block / title formats
-    for (p <- alternativePatterns) {
-      val matches = Py.findAll(p, text)
-      if (matches.nonEmpty) {
-        val raw = Py.strip(matches.head)
+    for ((p, g) <- alternativePatterns.zip(alternativeGuards)
+         if g.exists(lower.contains)) {
+      Py.search1(p, text).foreach { m =>
+        val raw = Py.strip(m)
         if (raw.length >= 5 && raw.contains(" ") &&
             !Py.matches("""^(?:court|chambers|sitting|hearing|judgment|decision|order).*""", raw, I)) {
           val clean = cleanJudgeNameEnhanced(raw)
@@ -83,9 +92,8 @@ object Judge {
       """審訊法官[：:]\s*([^\n]+)""",
       """(?:高等法院原訟法庭法官|法官)\s*([^\n\s]{2,10})""")
     for (p <- patterns) {
-      val matches = Py.findAll(p, text)
-      if (matches.nonEmpty) {
-        val clean = cleanJudgeName(Py.strip(matches.head))
+      Py.search1(p, text).foreach { m =>
+        val clean = cleanJudgeName(Py.strip(m))
         if (clean.nonEmpty) return clean
       }
     }

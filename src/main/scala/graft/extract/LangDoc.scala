@@ -10,7 +10,7 @@ object LangDoc {
     * whitespace tokens contain 被告 → chinese, else english. */
   def detectLanguage(text: String): String = {
     if (text == null || text.isEmpty) return "english"
-    val analysis = Py.splitWs(text).take(200).mkString(" ")
+    val analysis = Py.splitWsLimit(text, 200).mkString(" ")
     if (analysis.contains("被告")) "chinese" else "english"
   }
 

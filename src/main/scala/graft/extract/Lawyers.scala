@@ -42,8 +42,13 @@ object Lawyers {
     for (p0 <- paragraphs) {
       val paragraph = Py.strip(p0)
       if (paragraph.length >= 30) {
-        val hasLawyerInfo = lawyerPatterns.exists(p => Py.contains(p, paragraph))
         val lower = paragraph.toLowerCase
+        // Every lawyerPattern requires one of these literals (case-insens);
+        // guard false ⟹ none can match — pure speedup over the 9-regex scan.
+        val patternGuard = Seq("instructed", "counsel", "represented",
+          "mr", "ms", "miss").exists(lower.contains)
+        val hasLawyerInfo = patternGuard &&
+          lawyerPatterns.exists(p => Py.contains(p, paragraph))
         val hasKeywords = lawyerKeywords.exists(lower.contains)
         val hasNamePattern = Py.contains("""(?i)(?:mr|ms|miss)\.?\s+[A-Z][a-z]+""", paragraph)
         if (hasLawyerInfo || (hasKeywords && hasNamePattern)) {

@@ -25,6 +25,8 @@ object TrialDate {
 
   def extract(text: String, language: String): String = {
     if (language == "english") {
+      // every English pattern requires the literal "date" (case-insensitive)
+      if (!text.toLowerCase.contains("date")) return ""
       for (p <- englishPatterns) {
         Py.search1(p, text, I) match {
           case Some(raw) =>
@@ -34,6 +36,7 @@ object TrialDate {
         }
       }
     } else {
+      if (!text.contains("日期")) return ""
       for (p <- chinesePatterns) {
         Py.search1(p, text) match {
           case Some(raw) =>

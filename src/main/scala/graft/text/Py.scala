@@ -154,6 +154,26 @@ object Py {
     else pattern("""\s+""").split(t).toList
   }
 
+  /** First `limit` tokens of `str.split()` without scanning the whole
+    * string — equivalent to `s.split()[:limit]` (Python splits the entire
+    * string; the prefix of the token list is identical either way). */
+  def splitWsLimit(s: String, limit: Int): List[String] = {
+    val out = List.newBuilder[String]
+    var i = 0
+    var n = 0
+    val len = s.length
+    while (i < len && n < limit) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+        out += s.substring(start, i)
+        n += 1
+      }
+    }
+    out.result()
+  }
+
   /** Python slice `s[a:b]` with clamping; negative indices supported. */
   def slice(s: String, from: Int, until: Int): String = {
     val n = s.length
