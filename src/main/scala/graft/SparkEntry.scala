@@ -363,6 +363,62 @@ object SparkEntry {
         .limit(5)
     }),
 
+    // KG-shaped operators with oracles ---------------------------------------
+    "q_kg_sues" -> ((s, dir) => {
+      // J1: per-case plaintiff×defendant cross product via double explode —
+      // no join, the cross product stays row-local (data_importer.py:289-295
+      // semantics, demonstrated over token-derived party arrays).
+      views(s, dir)
+      s.sql("""
+        WITH parties AS (
+          SELECT doc_id,
+                 slice(regexp_extract_all(lower(text), '[a-z]+', 0), 1, 2) AS plaintiffs,
+                 slice(regexp_extract_all(lower(text), '[a-z]+', 0), 4, 2) AS defendants
+          FROM documents),
+        sues AS (
+          SELECT p, d
+          FROM parties
+          LATERAL VIEW explode(plaintiffs) t1 AS p
+          LATERAL VIEW explode(defendants) t2 AS d)
+        SELECT p, d, count(*) AS n FROM sues
+        GROUP BY p, d ORDER BY p, d""")
+    }),
+
+    "q_currency_totals" -> ((s, dir) => {
+      // A8: per-currency exact-decimal totals (single-currency sum path of
+      // _extract_amount_numbers_from_text, relational form).
+      val li = t(s, dir, "lineitem")
+      li.withColumn("currency",
+          when(col("l_returnflag") === "R", "HK$")
+            .when(col("l_returnflag") === "A", "USD").otherwise("$"))
+        .groupBy(col("currency"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total"),
+          count(lit(1)).as("n"))
+        .orderBy(col("currency"))
+    }),
+
+    "q_events_sessions" -> ((s, dir) => {
+      // Window lag: per-user session count with a 1-hour inactivity gap.
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev_ts").cast("timestamp"))) > 3600000000L, 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("new_session")).as("n_sessions"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q_rollup_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+    }),
+
     // Extraction engine (rows-only check — the golden suite is the real
     // correctness gate for these; see GoldenExtractionSpec) ----------------
     "q_extract_records" -> ((s, dir) => {
@@ -637,6 +693,40 @@ object SparkEntry {
       """SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_kg_sues" ->
+      """WITH parties AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(lower(text), '[a-z]+')[1:2] AS plaintiffs,
+        |         regexp_extract_all(lower(text), '[a-z]+')[4:5] AS defendants
+        |  FROM documents),
+        |sues AS (
+        |  SELECT u1.p, u2.d
+        |  FROM parties, unnest(plaintiffs) AS u1(p), unnest(defendants) AS u2(d))
+        |SELECT p, d, count(*) AS n FROM sues
+        |GROUP BY p, d ORDER BY p, d""".stripMargin,
+
+    "q_currency_totals" ->
+      """SELECT CASE WHEN l_returnflag = 'R' THEN 'HK$'
+        |            WHEN l_returnflag = 'A' THEN 'USD' ELSE '$' END AS currency,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_events_sessions" ->
+      """WITH w AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  sum(CASE WHEN prev_ts IS NULL
+        |            OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000 THEN 1 ELSE 0 END) AS n_sessions
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rollup_orders" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
 
     "q_events_top_users" ->
       """SELECT user_id,

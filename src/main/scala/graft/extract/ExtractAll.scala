@@ -74,6 +74,23 @@ object ExtractAll {
     OutSpans(doc.doc_id, out.result())
   }
 
+  /** S3 — the page-tagged full-text view (`direct_llm_extractor.py:128-133`):
+    * each text span rendered under a `=== PAGE n ===` marker (1-based page
+    * numbers over text spans only; media spans contribute no page). */
+  def renderWithPageMarkers(doc: Doc): String = {
+    val sb = new java.lang.StringBuilder
+    var page = 0
+    safeSpans(doc).foreach { s =>
+      if (s.kind == "text") {
+        page += 1
+        sb.append(s"=== PAGE $page ===\n")
+        sb.append(s.text)
+        sb.append('\n')
+      }
+    }
+    sb.toString
+  }
+
   /** `extract_information` (`src/extractor.py:2665-2732`) on the cleaned
     * full text. Returns None when the text is empty — the reference's
     * `process_pdf` treats empty text as a failed document

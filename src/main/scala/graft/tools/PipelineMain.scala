@@ -41,6 +41,9 @@ object PipelineMain {
     ReportJob.writeReport(spark, records, s"$outDir/report")
     val nodes = KgJob.nodes(records)
     val edges = KgJob.edges(records)
+    // the KG becomes two relations, queryable in Spark itself (S9 mapping)
+    nodes.write.mode("overwrite").parquet(s"$outDir/kg/nodes")
+    edges.write.mode("overwrite").parquet(s"$outDir/kg/edges")
     println(s"kg_nodes=${nodes.count()} kg_edges=${edges.count()}")
     KgJob.nodeStatistics(nodes).show()
     spark.stop()
