@@ -241,8 +241,11 @@ object Amounts {
     val foundAmounts = scala.collection.mutable.ListBuffer.empty[String]
     val amountValues = scala.collection.mutable.ListBuffer.empty[Double]
     val currencies = scala.collection.mutable.LinkedHashSet.empty[String]
+    val lower = text.toLowerCase
 
     for (p <- numberAnalysisPatterns) {
+      val guards = patternGuards(p)
+      if (guards.isEmpty || guards.exists(lower.contains))
       for (m <- Py.findAll(p, text, I)) {
         parseAmountMatch(m) match {
           case Some((value, currency)) if value > 0 =>

@@ -38,18 +38,43 @@ object JudgmentResult {
     """([Ii]nterest.*?(?:awarded|granted|payable)[^.]*?[.\n])""",
     """([Aa]pplication.*?(?:granted|dismissed|refused|allowed)[^.]*?[.\n])""")
 
+  // Required-literal guards (case-insensitive, aligned 1:1 with the pattern
+  // lists): guard false ⟹ the pattern cannot match — pure speedup.
+  private val orderGuards = Seq(
+    Seq("order", "judgment", "conclusion", "disposition"),
+    Seq("it is ordered", "i order", "the court order"),
+    Seq("for these reasons", "for the foregoing reasons", "accordingly", "therefore"),
+    Seq("order"),
+    Seq("make", "grant", "allow", "dismiss", "refuse"),
+    Seq("based on the above"),
+    Seq("in conclusion"),
+    Seq("reason"))
+
+  private val decisionGuards = Seq(
+    Seq("dismiss", "grant", "refuse", "allow", "upheld", "affirmed"),
+    Seq("entered"),
+    Seq("dismiss", "grant", "order", "hold", "refuse", "allow"),
+    Seq("granted", "dismissed", "refused", "allowed"),
+    Seq("pay", "liable", "responsible"),
+    Seq("entitled", "succeed"),
+    Seq("judgment"),
+    Seq("assessed", "taxed", "awarded"),
+    Seq("awarded", "granted", "payable"),
+    Seq("granted", "dismissed", "refused", "allowed"))
+
   /** `_extract_judgment_result_focused` (`src/extractor.py:1941-2022`). */
   def extractFocusedEnglish(section: String): String = {
     if (section == null || section.length < 100) return ""
     val segments = scala.collection.mutable.ListBuffer.empty[String]
+    val lower = section.toLowerCase
 
-    for (p <- orderPatterns) {
+    for ((p, g) <- orderPatterns.zip(orderGuards) if g.exists(lower.contains)) {
       for ((g1, _, _) <- Py.findIter(p, section, I | S).take(2)) {
         val clean = cleanJudgmentContent(g1)
         if (clean.length >= 20 && clean.length <= 1000) segments += clean
       }
     }
-    for (p <- decisionPatterns) {
+    for ((p, g) <- decisionPatterns.zip(decisionGuards) if g.exists(lower.contains)) {
       for ((g1, _, _) <- Py.findIter(p, section, I).take(2)) {
         val clean = cleanJudgmentContent(g1)
         if (clean.length >= 15 && clean.length <= 800) segments += clean
