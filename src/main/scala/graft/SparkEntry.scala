@@ -284,6 +284,14 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    "q_ann_ivf" -> ((s, dir) => {
+      // IVF coarse-quantizer ANN (rows-only check: KMeans training is not
+      // DuckDB-expressible; recall vs brute force is asserted in AnnSpec).
+      val e = t(s, dir, "embeddings")
+      graft.pipeline.AnnJobs.ivfTopK(s, e, col("vec_id") < 10,
+        k = 5, nlist = 8, nprobe = 2)
+    }),
+
     // Text analysis --------------------------------------------------------
     "q_lang_id" -> ((s, dir) => {
       val d = t(s, dir, "documents")

@@ -60,6 +60,18 @@ object EnrichmentJob {
   def fallback(r: CaseRecord, reason: String): Enriched =
     Enriched(r.doc_id, "Unknown", "Unknown", Seq.empty, Seq.empty, s"fallback: $reason")
 
+  /** A6 — enrichment summary: distributions of classified case type /
+    * judgment result and the ok/fallback rate
+    * (`optimized_llm_processor.py:402-442` semantics). */
+  def summary(enriched: Dataset[Enriched]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    enriched.toDF()
+      .groupBy(col("case_type_classified"), col("judgment_result_classified"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("enrich_status") === "ok", 1).otherwise(0)).as("n_ok"))
+      .orderBy(col("case_type_classified"), col("judgment_result_classified"))
+  }
+
   def run(spark: SparkSession, records: Dataset[CaseRecord],
           enricher: Enricher = RuleBasedEnricher): Dataset[Enriched] = {
     import spark.implicits._

@@ -55,12 +55,17 @@ object ExtractJob {
     big.unionByName(small)
   }
 
-  /** One-shot extraction (no lineage) — the bench/throughput path. */
+  /** One-shot extraction (no lineage) — the bench/throughput path.
+    * ST2: a document that throws inside the kernel is dropped, never
+    * job-fatal (the reference's continue-on-error contract,
+    * `src/parallel_processor.py:142-152`, `src/config.py:176-180`). */
   def extractRecords(spark: SparkSession, docs: Dataset[Doc],
                      numPartitions: Int): Dataset[CaseRecord] = {
     import spark.implicits._
     partitionForExtraction(spark, docs, numPartitions)
-      .mapPartitions(_.flatMap(ExtractAll.extractRecord))
+      .mapPartitions(_.flatMap(d =>
+        try ExtractAll.extractRecord(d)
+        catch { case _: Exception => None }))
   }
 
   def extractOutSpans(spark: SparkSession, docs: Dataset[Doc],

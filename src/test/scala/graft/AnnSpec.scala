@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.AnnJobs
+
+class AnnSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ann-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("IVF top-k overlaps brute-force top-k (recall@5 over probed cells)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val isQuery = col("vec_id") < 20
+
+    val brute = AnnJobs.bruteForceTopK(spark, emb, isQuery, k = 5).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+    def ivfAt(nprobe: Int): Map[Long, Set[Long]] =
+      AnnJobs.ivfTopK(spark, emb, isQuery, k = 5, nlist = 8, nprobe = nprobe)
+        .collect()
+        .groupBy(_.getAs[Long]("q_id"))
+        .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+    def recallOf(ivf: Map[Long, Set[Long]]): Double =
+      brute.keys.toSeq.map(q => (ivf(q) intersect brute(q)).size.toDouble / brute(q).size)
+        .sum / brute.size
+
+    val ivf2 = ivfAt(2)
+    val ivf8 = ivfAt(8)
+    assert(ivf2.keySet == brute.keySet)
+    ivf2.values.foreach(s => assert(s.size == 5))
+    // probing ALL cells must recover brute force exactly
+    assert(recallOf(ivf8) == 1.0, "nprobe = nlist must equal brute force")
+    // partial probing trades recall for candidate volume but stays useful
+    val r2 = recallOf(ivf2)
+    assert(r2 > 0.2 && r2 < 1.0, f"recall@5 with nprobe=2/8: $r2%.2f")
+  }
+}
