@@ -283,6 +283,103 @@ def empty_doc(rng, idx):
     return f"EMPTY{idx:04d}_2020", [""]
 
 
+def judge_formats(rng, idx):
+    """Special judge formats: Recorder / Master / Deputy / signature block."""
+    base_id, pages = hca_between(rng, idx)
+    doc_id = base_id.replace("HCA", "HCAJ")
+    variant = rng.randint(0, 3)
+    judge_line = [
+        "Before: Mr. Recorder Manzoni Kwan, SC in Court",
+        "Before: Master Isaac Chan in Chambers",
+        "Before: Deputy High Court Judge Wong Kai Ming in Court",
+        "Before: The Hon. Peter David Lok J. in Chambers",
+    ][variant]
+    # replace the Before: line on page 0
+    lines = pages[0].split("\n")
+    lines = [judge_line if l.startswith("Before:") else l for l in lines]
+    pages[0] = "\n".join(lines)
+    if variant == 0:
+        pages.append("( Manzoni Kwan ) Recorder of the High Court")
+    elif variant == 2:
+        pages.append("( Wong Kai Ming ) Deputy High Court Judge of the Court of First Instance")
+    return doc_id, pages
+
+
+def multi_date(rng, idx):
+    """Messy hearing-date lines exercising the 11-step cleaning chain."""
+    base_id, pages = hca_between(rng, idx)
+    doc_id = base_id.replace("HCA", "HCAD")
+    y = rng.randint(2016, 2023)
+    variant = rng.randint(0, 3)
+    date_line = [
+        f"Dates of Hearing: {rng.randint(1,9)}, {rng.randint(10,19)} and {rng.randint(20,28)} March {y} and",
+        f"Date of Judgment: {rng.randint(1,28)} June {y} - 3 - Reasons for Judgment",
+        f"Date of Decision: {rng.randint(1,28)} May {y} Before Hon Chan J",
+        f"Date of Hearing: {rng.randint(1,28)} April {y}, ,",
+    ][variant]
+    lines = pages[0].split("\n")
+    lines = [date_line if l.startswith("Date of Hearing:") else l for l in lines]
+    pages[0] = "\n".join(lines)
+    return doc_id, pages
+
+
+def and_in_name(rng, idx):
+    """Company names containing ' AND ' stressing the BETWEEN split."""
+    num = rng.randint(1, 2999)
+    year = rng.randint(2016, 2023)
+    doc_id = f"HCAN{num:06d}_{year}"
+    pl = "GOLDEN DRAGON TRADING AND SHIPPING LIMITED"
+    df = rng.choice(COMPANIES)
+    judge = rng.choice(JUDGES)
+    page0 = "\n".join([
+        f"HCA {num}/{year}",
+        "IN THE HIGH COURT OF THE",
+        "HONG KONG SPECIAL ADMINISTRATIVE REGION",
+        "COURT OF FIRST INSTANCE",
+        f"ACTION NO {num} OF {year}",
+        "____________",
+        "BETWEEN",
+        f"  {pl}",
+        "  Plaintiff",
+        " and ",
+        f"  {df}",
+        "  Defendant",
+        "____________",
+        f"Before: Hon {judge} J in Chambers",
+        f"Date of Hearing: {rng.randint(1,28)} May {year}",
+        "J U D G M E N T",
+    ])
+    pages = [page0] + body_pages(rng, rng.randint(3, 6), claim_amt=rng.randrange(100_000, 2_000_000, 1000))
+    pages.append("ORDER\n1. The action is dismissed with costs to the defendant.\n")
+    law, firm = rng.choice(LAWYERS)
+    pages.append(f"{law}, instructed by {firm}, for the plaintiff")
+    return doc_id, pages
+
+
+def corrigendum_variants(rng, idx):
+    """Corrigendum fallback branches: 'should read', 'names added', bare."""
+    num = rng.randint(1, 2999)
+    year = rng.randint(2016, 2024)
+    doc_id = f"HCA{num:06d}_{year}V"
+    variant = rng.randint(0, 2)
+    body = [
+        f'Paragraph 12 should read: "the defendant shall pay interest at 8%"',
+        "The names of Counsel for the 2nd Defendant are added to the representation section.",
+        "Minor typographical errors are corrected throughout the judgment.",
+    ][variant]
+    page0 = "\n".join([
+        f"HCA {num}/{year}",
+        "IN THE HIGH COURT OF THE",
+        "HONG KONG SPECIAL ADMINISTRATIVE REGION",
+        "COURT OF FIRST INSTANCE",
+        f"ACTION NO {num} OF {year}",
+        "C O R R I G E N D U M",
+        f"Please note the following corrigendum in the Decision dated {rng.randint(1,28)} March {year}:",
+        body,
+    ])
+    return doc_id, [page0]
+
+
 ARCHETYPES = [
     ("hca_between", lambda r, i: hca_between(r, i), 10),
     ("hca_split_year", lambda r, i: hca_between(r, i, split_year=True), 4),
@@ -295,6 +392,11 @@ ARCHETYPES = [
     ("oversized_skew", oversized, 2),
     ("garbage", garbage, 3),
     ("empty", empty_doc, 2),
+    # appended after round-1 initial corpus — earlier rng stream unchanged
+    ("judge_formats", judge_formats, 6),
+    ("multi_date", multi_date, 6),
+    ("and_in_name", and_in_name, 4),
+    ("corrigendum_variants", corrigendum_variants, 5),
 ]
 
 
