@@ -27,6 +27,12 @@ import java.util.regex.{Matcher, Pattern}
   * Patterns are compiled once per JVM (concurrent cache) — the analogue of
   * the reference's one-extractor-per-worker precompilation
   * (`src/parallel_processor.py:344-347`).
+  *
+  * Known divergence (documented, not triggered by any realistic corpus):
+  * Python's `\s` additionally matches the C0 separators U+001C–U+001F,
+  * which Unicode White_Space (Java's `\s` under UNICODE_CHARACTER_CLASS)
+  * excludes. Text containing those control characters would tokenize
+  * differently; PDF-extracted judgment text does not contain them.
   */
 object Py {
   final val I = Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
