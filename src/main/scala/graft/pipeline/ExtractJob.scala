@@ -36,23 +36,59 @@ object ExtractJob {
     docs.withColumn("doc_bytes",
       aggregate(col("spans"), lit(0L), (acc, s) => acc + length(s.getField("text"))))
 
-  /** Skew-aware partitioning: giants round-robin, the rest hash-partitioned
-    * on doc_id. Hash (not range) for the normal docs: `repartitionByRange`
-    * runs an extra sampling job that executes the whole child subplan to
-    * estimate boundaries — measured ~6s of serial overhead per run at 50k
-    * docs, destroying scaling efficiency — while hash partitioning gives the
-    * same balance with no extra pass. Round-robin for giants guarantees no
-    * partition owns several of them even when giant doc_ids cluster. */
+  /** "Identity keys": for each target partition b in [0, n), a long k_b
+    * whose Murmur3 hash (seed 42 — what Spark's HashPartitioning applies to
+    * a LongType shuffle key) lands exactly on partition b. Mapping a
+    * computed bucket through these keys makes `repartition(n, $"pkey")`
+    * place rows on the *intended* partition — identity layout through a
+    * plain hash shuffle, no custom Partitioner, no RDD detour. Brute-forced
+    * once per n and cached (expected ~n·ln n hash evaluations). */
+  private val identityKeyCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  def identityKeys(n: Int): Array[Long] =
+    identityKeyCache.computeIfAbsent(n, _ => {
+      val keys = new Array[Long](n)
+      val found = new Array[Boolean](n)
+      var remaining = n
+      var v = 0L
+      while (remaining > 0) {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
+        val b = ((h % n) + n) % n
+        if (!found(b)) { found(b) = true; keys(b) = v; remaining -= 1 }
+        v += 1
+      }
+      keys
+    })
+
+  /** Skew-aware partitioning in ONE scan and ONE shuffle:
+    *
+    *  - normal docs bucket by `xxhash64(doc_id) mod n` (uniform, stable,
+    *    cluster-size-independent);
+    *  - giants (span bytes ≥ threshold) bucket by
+    *    `monotonically_increasing_id() mod n` — scattered across all
+    *    partitions regardless of how their doc_ids cluster;
+    *  - buckets map through [[identityKeys]] so the hash shuffle places
+    *    each bucket on its own partition.
+    *
+    * Design history (measured in this sandbox, BASELINE.md):
+    * `repartitionByRange` costs an extra sampling job that re-executes the
+    * child (~6s serial at 50k docs); the earlier two-branch
+    * filter/union needed two full source scans. This form is pure Catalyst
+    * expressions over a single scan. */
   def partitionForExtraction(spark: SparkSession, docs: Dataset[Doc],
                              numPartitions: Int,
                              skewThresholdBytes: Long = DefaultSkewThresholdBytes): Dataset[Doc] = {
     import spark.implicits._
-    val withBytes = withDocBytes(docs.toDF())
-    val big = withBytes.filter($"doc_bytes" >= skewThresholdBytes)
-      .drop("doc_bytes").as[Doc].repartition(numPartitions)
-    val small = withBytes.filter($"doc_bytes" < skewThresholdBytes)
-      .drop("doc_bytes").as[Doc].repartition(numPartitions, $"doc_id")
-    big.unionByName(small)
+    val keys = identityKeys(numPartitions)
+    val bucket = when(col("doc_bytes") >= skewThresholdBytes,
+        pmod(monotonically_increasing_id(), lit(numPartitions.toLong)))
+      .otherwise(pmod(xxhash64($"doc_id"), lit(numPartitions.toLong)))
+    withDocBytes(docs.toDF())
+      .withColumn("pkey", element_at(lit(keys), bucket.cast("int") + 1))
+      .repartition(numPartitions, $"pkey")
+      .drop("doc_bytes", "pkey")
+      .as[Doc]
   }
 
   /** One-shot extraction (no lineage) — the bench/throughput path.

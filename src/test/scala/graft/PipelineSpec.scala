@@ -34,18 +34,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(sizes.max > 10 * (sizes.sum / sizes.length), "corpus must contain giants")
   }
 
-  test("skew-aware partitioning spreads giants and keeps every doc once") {
+  test("identity keys land each bucket on its intended partition") {
+    for (n <- Seq(4, 8, 32, 128)) {
+      val keys = ExtractJob.identityKeys(n)
+      keys.zipWithIndex.foreach { case (k, b) =>
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(k, 42)
+        assert(((h % n) + n) % n == b, s"key $k for bucket $b of $n")
+      }
+    }
+  }
+
+  test("skew-aware partitioning spreads giants, fills all partitions, keeps every doc once") {
     import spark.implicits._
     val docs = CorpusGen.generate(spark, 200, 8)
     val parted = ExtractJob.partitionForExtraction(spark, docs, 8, skewThresholdBytes = 100000)
     assert(parted.count() == 200)
     assert(parted.select("doc_id").distinct().count() == 200)
-    // giants (>=100KB) should not all land in one partition
-    val giantParts = parted
+    val byPart = parted
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        it.filter(_.spans.map(_.text.length.toLong).sum >= 100000).map(_ => pid)
-      }.distinct().collect()
+        it.map(d => (pid, d.spans.map(_.text.length.toLong).sum >= 100000))
+      }.collect()
+    // identity layout: every one of the 8 partitions must be populated
+    assert(byPart.map(_._1).distinct.length == 8,
+      s"partitions used: ${byPart.map(_._1).distinct.sorted.toSeq}")
+    // giants should not all land in one partition
+    val giantParts = byPart.filter(_._2).map(_._1).distinct
     assert(giantParts.length > 1, s"giants all in ${giantParts.toSeq}")
   }
 
