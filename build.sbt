@@ -39,3 +39,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ParallelGC is steadier than G1 here (G1 showed 9s-68s run variance).
   "-XX:+UseParallelGC",
 )
+// Suites share one JVM and (mostly) one SparkSession via getOrCreate;
+// ExtensionsSpec must build its own session — run suites sequentially so
+// a session swap can't race another suite.
+Test / parallelExecution := false

@@ -1,0 +1,24 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Standard extension entry point: installs the engine's native functions
+  * into any session via
+  *
+  * {{{
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  * }}}
+  *
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions)`), so a
+  * cluster configured with this library gets `clean_margin_index` as a
+  * first-class SQL function without per-session registration calls. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("clean_margin_index"),
+      new ExpressionInfo(classOf[CleanMarginIndexExpr].getName, "clean_margin_index"),
+      (exprs: Seq[Expression]) => CleanMarginIndexExpr(exprs.head)))
+  }
+}
