@@ -142,8 +142,12 @@ object ChineseDoc {
       }
     }
 
+    // A partial footer hit is DISCARDED: the reference only returns the
+    // footer pair when both sides parsed (`chinese_document_extractor.py:
+    // 98-100`); otherwise it falls through to the content extractor, which
+    // always returns ("","") (`:148-163`), so the final answer is empty.
     if (plaintiff.nonEmpty && defendant.nonEmpty) (plaintiff, defendant)
-    else (plaintiff, defendant) // content fallback returns ("","") upstream
+    else ("", "")
   }
 
   /** `extract_chinese_lawyers` (`chinese_document_extractor.py:228-263`). */

@@ -380,6 +380,55 @@ def corrigendum_variants(rng, idx):
     return doc_id, [page0]
 
 
+def chinese_variants(rng, idx):
+    """Chinese-path edges: lawyer-info footers that must be rejected as
+    party names, 案件編號/編號 prefix case numbers, bare signature judges,
+    missing dates (hard-coded fallback)."""
+    num = rng.randint(1, 1999)
+    year = rng.randint(2016, 2024)
+    doc_id = f"HCA{num:06d}_{year}W"
+    pl = rng.choice(ZH_NAMES)
+    df = rng.choice([n for n in ZH_NAMES if n != pl])
+    judge = rng.choice(ZH_JUDGES)
+    variant = rng.randint(0, 3)
+
+    case_line = [
+        f"民事訴訟 {year} 年第 {num} 號",
+        f"案件編號：{year}年第{num}號",
+        f"編號：{year}年第{num}號",
+        f"高院民事訴訟 {year} 年 第 {num} 號",
+    ][variant]
+
+    header = ["香港特別行政區", "高等法院原訟法庭", case_line, "____________",
+              f"原告人 {pl}", "及", f"被告人 {df}", "____________"]
+    if variant != 3:
+        header.append(f"聆訊日期：{year} 年 {rng.randint(1,12)} 月 {rng.randint(1,28)} 日")
+    # variant 3: no date anywhere → exercises the hard-coded fallback
+    header.append("判 案 書")
+    page0 = "\n".join(header)
+
+    body = []
+    for _ in range(rng.randint(2, 4)):
+        body.append("\n\n".join(rng.choice(ZH_FILLER) for _ in range(rng.randint(2, 3))))
+
+    footer_lines = []
+    if variant in (0, 2):
+        footer_lines += [f"( {judge} )", "高等法院原訟法庭法官"]
+    else:
+        footer_lines += [f"{judge} 高等法院原訟法庭暫委法官"]
+    footer_lines += ["", f"原告人：{pl}"]
+    if variant == 1:
+        # lawyer-info line FIRST for the defendant — must be rejected as a
+        # party name by _is_lawyer_info and picked up as the lawyer instead
+        footer_lines += [f"第一被告人：由{rng.choice(ZH_NAMES)}律師代表"]
+    else:
+        footer_lines += [f"第一被告人：{df}"]
+    if variant == 2:
+        footer_lines += ["原告人：無律師代表，親自行事"]
+    body.append("\n".join(footer_lines))
+    return doc_id, [page0] + body
+
+
 ARCHETYPES = [
     ("hca_between", lambda r, i: hca_between(r, i), 10),
     ("hca_split_year", lambda r, i: hca_between(r, i, split_year=True), 4),
@@ -397,6 +446,7 @@ ARCHETYPES = [
     ("multi_date", multi_date, 6),
     ("and_in_name", and_in_name, 4),
     ("corrigendum_variants", corrigendum_variants, 5),
+    ("chinese_variants", chinese_variants, 8),
 ]
 
 
