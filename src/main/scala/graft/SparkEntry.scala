@@ -469,11 +469,14 @@ object SparkEntry {
     "q_source_dist" ->
       "SELECT source, count(*) AS n FROM documents GROUP BY 1 ORDER BY source",
 
+    // DuckDB types a bare integer SUM as HUGEINT, which pandas widens to
+    // float64 and the driver's value hash then differs from Spark's BIGINT
+    // on formatting alone — hence the explicit BIGINT casts here.
     "q_doc_completeness" ->
       """SELECT count(*) AS total,
-        |  sum(CASE WHEN trim(coalesce(text, '')) <> '' THEN 1 ELSE 0 END) AS text_complete,
-        |  sum(CASE WHEN trim(coalesce(lang, '')) <> '' THEN 1 ELSE 0 END) AS lang_complete,
-        |  sum(CASE WHEN trim(coalesce(source, '')) <> '' THEN 1 ELSE 0 END) AS source_complete
+        |  CAST(sum(CASE WHEN trim(coalesce(text, '')) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS text_complete,
+        |  CAST(sum(CASE WHEN trim(coalesce(lang, '')) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS lang_complete,
+        |  CAST(sum(CASE WHEN trim(coalesce(source, '')) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS source_complete
         |FROM documents""".stripMargin,
 
     "q_customers_no_orders" ->
@@ -721,14 +724,16 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Same HUGEINT→float64 hazard as q_doc_completeness: cast the integer
+    // sum to BIGINT so both engines hash the same rendering.
     "q_events_sessions" ->
       """WITH w AS (
         |  SELECT user_id, ts,
         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |  FROM events)
         |SELECT user_id, count(*) AS n_events,
-        |  sum(CASE WHEN prev_ts IS NULL
-        |            OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000 THEN 1 ELSE 0 END) AS n_sessions
+        |  CAST(sum(CASE WHEN prev_ts IS NULL
+        |            OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_rollup_orders" ->
