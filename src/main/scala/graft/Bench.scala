@@ -47,8 +47,8 @@ object Bench {
     val headline = Seq(
       "q_pricing_summary", "q_revenue_by_segment", "q_top_orders_per_cust",
       "q_similar_docs", "q_events_hourly", "q_dedup_exact", "q_dedup_minhash",
-      "q_dedup_simhash", "q_ann_cosine", "q_ann_lsh_topk", "q_fingerprint",
-      "q_quality_score")
+      "q_dedup_minhash_verified", "q_dedup_simhash", "q_ann_cosine",
+      "q_ann_lsh_topk", "q_fingerprint", "q_quality_score")
 
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)

@@ -157,47 +157,51 @@ object SparkEntry {
     }),
 
     "q_dedup_minhash" -> ((s, dir) => {
-      views(s, dir)
-      s.sql("""
-        WITH tokens AS (
-          SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS tok
-          FROM documents),
-        sigs AS (
-          SELECT doc_id,
-                 min(md5(concat('0#', tok))) AS h0,
-                 min(md5(concat('1#', tok))) AS h1,
-                 min(md5(concat('2#', tok))) AS h2,
-                 min(md5(concat('3#', tok))) AS h3
-          FROM tokens GROUP BY doc_id),
-        bands AS (
-          SELECT doc_id, md5(concat(h0, h1)) AS b0, md5(concat(h2, h3)) AS b1
-          FROM sigs),
-        pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
-          UNION
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b FROM pairs WHERE doc_a < 25 ORDER BY doc_a, doc_b""")
+      // Signature stage is fully in-row (one compiled pass over the token
+      // array, graft.plans.MinHashSigExpr — no token ever leaves its row);
+      // the only shuffles left are the banded equi-joins, which are the
+      // algorithm's point.
+      graft.plans.TextHashExprs.register(s)
+      val d = t(s, dir, "documents")
+      val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      // in-row min over the array = groupBy-min over exploded tokens; docs
+      // with zero tokens fell out of the GROUP BY, so filter them the same.
+      val bands = d.withColumn("toks", toks)
+        .filter(size(col("toks")) > 0)
+        .withColumn("sig", graft.plans.TextHashExprs.minhash_sig(col("toks"), lit(4)))
+        .select(col("doc_id"),
+          md5(concat(element_at(col("sig"), 1), element_at(col("sig"), 2))).as("b0"),
+          md5(concat(element_at(col("sig"), 3), element_at(col("sig"), 4))).as("b1"))
+      def pairsOn(b: String): DataFrame = {
+        val l = bands.select(col("doc_id").as("doc_a"), col(b).as("bh"))
+        val r = bands.select(col("doc_id").as("doc_b"), col(b).as("bh"))
+        l.join(r, Seq("bh")).filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+      }
+      pairsOn("b0").union(pairsOn("b1")).distinct()
+        .filter(col("doc_a") < 25)
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "q_dedup_minhash_verified" -> ((s, dir) =>
+      graft.pipeline.DedupJobs.minhashVerified(
+        t(s, dir, "documents"), numHashes = 8, bands = 4,
+        bucketCap = 200, jaccardThreshold = 0.5)),
+
     "q_dedup_simhash" -> ((s, dir) => {
-      views(s, dir)
-      s.sql("""
-        WITH tokens AS (
-          SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS tok
-          FROM documents),
-        bits AS (SELECT explode(sequence(0, 15)) AS b),
-        contrib AS (
-          SELECT doc_id, b,
-                 CASE WHEN substring(md5(concat(cast(b AS string), '#', tok)), 1, 1) >= '8'
-                      THEN 1 ELSE -1 END AS c
-          FROM tokens CROSS JOIN bits),
-        simbits AS (
-          SELECT doc_id, b, CASE WHEN sum(c) >= 0 THEN 1 ELSE 0 END AS bit
-          FROM contrib GROUP BY doc_id, b)
-        SELECT doc_id, cast(sum(bit * shiftleft(1L, b)) AS bigint) AS simhash
-        FROM simbits GROUP BY doc_id ORDER BY doc_id""")
+      // Per-doc simhash computed entirely in-row in one compiled pass
+      // (graft.plans.SimHash16Expr): each token votes ±1 on each of the 16
+      // bits by the top bit of its seeded md5 — sum(c) >= 0 ⟺ 2·pos >= n.
+      // The former tokens×bits CROSS JOIN shuffled the token stream 16×;
+      // this plan has no shuffle at all besides the output sort.
+      graft.plans.TextHashExprs.register(s)
+      val d = t(s, dir, "documents")
+      val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      d.withColumn("toks", toks)
+        .filter(size(col("toks")) > 0) // zero-token docs fell out of the GROUP BY
+        .select(col("doc_id"),
+          graft.plans.TextHashExprs.simhash16(col("toks")).as("simhash"))
+        .orderBy(col("doc_id"))
     }),
 
     "q_dedup_ngram" -> ((s, dir) => {
@@ -337,20 +341,18 @@ object SparkEntry {
     }),
 
     "q_fingerprint" -> ((s, dir) => {
-      views(s, dir)
-      s.sql("""
-        WITH norm AS (
-          SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ')) AS nt FROM documents),
-        shingles AS (
-          SELECT doc_id, md5(substring(nt, i, 8)) AS h
-          FROM norm
-          LATERAL VIEW explode(sequence(1, greatest(length(nt) - 7, 1))) t AS i),
-        agg AS (
-          SELECT doc_id, min(h) AS min_shingle, max(h) AS max_shingle
-          FROM shingles GROUP BY doc_id)
-        SELECT n.doc_id, md5(n.nt) AS fp, a.min_shingle, a.max_shingle
-        FROM norm n JOIN agg a ON n.doc_id = a.doc_id
-        ORDER BY n.doc_id""")
+      // Per-doc rolling-shingle fingerprint in ONE compiled in-row pass
+      // (graft.plans.ShingleMinMaxExpr): the former plan exploded every
+      // character position into a row and shuffled ~8× the corpus bytes
+      // back through a groupBy. No explode, no shuffle, identical output.
+      graft.plans.TextHashExprs.register(s)
+      val d = t(s, dir, "documents")
+      val nt = lower(regexp_replace(col("text"), "\\s+", " "))
+      d.withColumn("nt", nt)
+        .withColumn("mm", graft.plans.TextHashExprs.shingle_minmax(col("nt"), lit(8)))
+        .select(col("doc_id"), md5(col("nt")).as("fp"),
+          col("mm.mn").as("min_shingle"), col("mm.mx").as("max_shingle"))
+        .orderBy(col("doc_id"))
     }),
 
     // Events (streaming-analogue windowed aggregation) ---------------------
@@ -560,6 +562,46 @@ object SparkEntry {
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b FROM pairs WHERE doc_a < 25 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Mirrors DedupJobs.minhashVerified(numHashes=8, bands=4, bucketCap=200,
+    // jaccardThreshold=0.5): banded-LSH candidates (hot buckets dropped),
+    // then exact Jaccard over distinct token sets.
+    "q_dedup_minhash_verified" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |sigs AS (
+        |  SELECT doc_id,
+        |         min(md5(concat('0#', tok))) AS h0, min(md5(concat('1#', tok))) AS h1,
+        |         min(md5(concat('2#', tok))) AS h2, min(md5(concat('3#', tok))) AS h3,
+        |         min(md5(concat('4#', tok))) AS h4, min(md5(concat('5#', tok))) AS h5,
+        |         min(md5(concat('6#', tok))) AS h6, min(md5(concat('7#', tok))) AS h7
+        |  FROM tokens GROUP BY doc_id),
+        |bandrows AS (
+        |  SELECT doc_id, 0 AS bi, md5(concat(h0, h1)) AS bh FROM sigs
+        |  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sigs
+        |  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sigs
+        |  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sigs),
+        |bsizes AS (SELECT bi, bh, count(*) AS n FROM bandrows GROUP BY 1, 2),
+        |kept AS (SELECT br.* FROM bandrows br JOIN bsizes s USING (bi, bh) WHERE s.n <= 200),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM kept a JOIN kept b ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |tokset AS (SELECT DISTINCT doc_id, tok FROM tokens),
+        |tsizes AS (SELECT doc_id, count(*) AS n FROM tokset GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM cand c
+        |  JOIN tokset a ON a.doc_id = c.doc_a
+        |  JOIN tokset b ON b.doc_id = c.doc_b AND b.tok = a.tok
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b,
+        |       CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard
+        |FROM inter i
+        |JOIN tsizes sa ON sa.doc_id = i.doc_a
+        |JOIN tsizes sb ON sb.doc_id = i.doc_b
+        |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH tokens AS (

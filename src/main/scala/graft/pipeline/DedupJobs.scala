@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-hardened near-duplicate detection: parameterized banded MinHash-LSH
+  * with a true-Jaccard verification stage (the corpus-scale form of the
+  * reference's first-file-wins dedupe intent, `merge_json_files.py:48-62`).
+  *
+  * Shape at 100 TB:
+  *  - signatures are computed entirely IN-ROW (`array_min` over a
+  *    `transform` of the token array) — no token ever leaves its row, so
+  *    the signature stage is map-only;
+  *  - the only shuffle is the banded equi-join on (band index, band hash),
+  *    i.e. the algorithm's candidate generation itself;
+  *  - hot buckets (a band hash shared by > bucketCap docs) are dropped
+  *    BEFORE the self-join — within-bucket pair count is quadratic, so one
+  *    degenerate bucket (e.g. boilerplate-only docs) would otherwise emit
+  *    billions of pairs. Drops are observable via [[droppedBuckets]] —
+  *    never silent;
+  *  - candidate pairs are then verified with exact Jaccard over distinct
+  *    token sets, joining tokens only for docs that appear in a candidate
+  *    pair (candidate-bounded, not corpus-bounded).
+  */
+object DedupJobs {
+
+  /** Word tokens, lowercased — the same tokenization as q_dedup_minhash. */
+  def tokens(textCol: Column): Column =
+    regexp_extract_all(lower(textCol), lit("[a-z0-9]+"), lit(0))
+
+  /** One row per (doc, band): band hash = md5 of the band's concatenated
+    * row hashes. The signature (min over tokens of a seeded md5, per hash
+    * function — duplicate tokens can't change a min, so no distinct needed)
+    * is ONE compiled in-row pass over the token array
+    * ([[graft.plans.MinHashSigExpr]]). Zero-token docs are excluded (they
+    * have no signature). */
+  def bandRows(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    graft.plans.TextHashExprs.register(docs.sparkSession)
+    val rowsPerBand = numHashes / bands
+    val withSig = docs
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .withColumn("sig",
+        graft.plans.TextHashExprs.minhash_sig(col("toks"), lit(numHashes)))
+    val bandHashes = (0 until bands).map { bi =>
+      val hs = (bi * rowsPerBand until (bi + 1) * rowsPerBand)
+        .map(k => element_at(col("sig"), k + 1))
+      md5(concat(hs: _*))
+    }
+    withSig.select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("bi", "bh")))
+  }
+
+  /** Buckets that exceed the cap — surfaced so truncation is never silent.
+    * Returns (bi, bh, n) for every dropped bucket. */
+  def droppedBuckets(docs: DataFrame, numHashes: Int, bands: Int,
+                     bucketCap: Int): DataFrame =
+    bandRows(docs, numHashes, bands)
+      .groupBy(col("bi"), col("bh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > bucketCap)
+
+  /** Candidate pairs (doc_a < doc_b, distinct) from the banded self-join,
+    * with over-cap buckets excluded. */
+  def candidatePairs(docs: DataFrame, numHashes: Int, bands: Int,
+                     bucketCap: Int): DataFrame = {
+    val rows = bandRows(docs, numHashes, bands)
+    val sizes = rows.groupBy(col("bi"), col("bh")).agg(count(lit(1)).as("n"))
+    val kept = rows.join(sizes.filter(col("n") <= bucketCap), Seq("bi", "bh"))
+      .select(col("bi"), col("bh"), col("doc_id"))
+    val l = kept.select(col("bi"), col("bh"), col("doc_id").as("doc_a"))
+    val r = kept.select(col("bi"), col("bh"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("bi", "bh")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Candidates verified by exact Jaccard over distinct token sets:
+    * returns (doc_a, doc_b, jaccard) with jaccard >= threshold. Token rows
+    * are joined only for candidate docs, so the verify cost is bounded by
+    * candidate volume, not corpus size. */
+  def minhashVerified(docs: DataFrame, numHashes: Int = 8, bands: Int = 4,
+                      bucketCap: Int = 200,
+                      jaccardThreshold: Double = 0.5): DataFrame = {
+    val cand = candidatePairs(docs, numHashes, bands, bucketCap)
+    val tokSets = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+    val sizes = tokSets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+
+    val inter = cand
+      .join(tokSets.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(tokSets.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+
+    val jac = col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

@@ -137,23 +137,29 @@ object KgJob {
   def relationshipStatistics(edges: DataFrame): DataFrame =
     edges.groupBy("rel_type").agg(count(lit(1)).as("count")).orderBy(desc("count"))
 
-  /** J2/W2 — similar-case scoring: theta self-join + per-case top-10
+  /** J2/W2 — similar-case scoring: self-join + per-case top-10
     * (`knowledge_graph/graph_database.py:240-271`). Similarity =
     * 0.4·[case_type eq] + 0.2·[court eq] + 0.2·[result eq] +
-    * 0.2·[|claim−claim| < 1e6]. At scale the self-join shuffles both sides;
-    * AQE handles skewed keys, and a broadcast hint is applied when the
-    * case table is small. */
-  def similarCases(cases: DataFrame, threshold: Double = 0.7,
-                   broadcastRight: Boolean = true): DataFrame = {
+    * 0.2·[|claim−claim| < 1e6].
+    *
+    * Scale shape: for any threshold > 0.6, case_type equality is a
+    * NECESSARY condition — the other three terms sum to at most
+    * 0.2+0.2+0.2 = 0.6, so no pair with differing case_type can reach the
+    * threshold. The join is therefore a shuffled (or AQE-broadcast, when
+    * one side is small — size-based, never forced) EQUI-join on case_type
+    * instead of the N² theta cross product. For threshold <= 0.6 the
+    * necessary condition doesn't hold and the reference's full pairwise
+    * comparison is the semantics, so the theta join is kept on that path
+    * (a consumer asking for sub-0.6 similarity is asking for ~all pairs). */
+  def similarCases(cases: DataFrame, threshold: Double = 0.7): DataFrame = {
     val a = cases.select(
       col("case_key").as("a_key"), col("case_type").as("a_ct"),
       col("court_name").as("a_court"), col("judgment_result").as("a_jr"),
       col("claim_value").as("a_cv"))
-    val bBase = cases.select(
+    val b = cases.select(
       col("case_key").as("b_key"), col("case_type").as("b_ct"),
       col("court_name").as("b_court"), col("judgment_result").as("b_jr"),
       col("claim_value").as("b_cv"))
-    val b = if (broadcastRight) broadcast(bBase) else bBase
 
     val sim =
       when(col("a_ct") === col("b_ct"), 0.4).otherwise(0.0) +
@@ -161,9 +167,15 @@ object KgJob {
       when(col("a_jr") === col("b_jr"), 0.2).otherwise(0.0) +
       when(abs(col("a_cv") - col("b_cv")) < 1000000, 0.2).otherwise(0.0)
 
+    val joined =
+      if (threshold > 0.6)
+        a.join(b, col("a_ct") === col("b_ct") && col("a_key") =!= col("b_key"))
+      else
+        a.join(b, col("a_key") =!= col("b_key"))
+
     val w = Window.partitionBy(col("a_key"))
       .orderBy(desc("similarity"), col("b_key"))
-    a.join(b, col("a_key") =!= col("b_key"))
+    joined
       .withColumn("similarity", sim)
       .filter(col("similarity") >= threshold)
       .withColumn("rn", row_number().over(w))

@@ -20,5 +20,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("clean_margin_index"),
       new ExpressionInfo(classOf[CleanMarginIndexExpr].getName, "clean_margin_index"),
       (exprs: Seq[Expression]) => CleanMarginIndexExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16Expr].getName, "simhash16"),
+      (exprs: Seq[Expression]) => SimHash16Expr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSigExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_minmax"),
+      new ExpressionInfo(classOf[ShingleMinMaxExpr].getName, "shingle_minmax"),
+      (exprs: Seq[Expression]) => ShingleMinMaxExpr(exprs(0), exprs(1))))
   }
 }

@@ -1,0 +1,246 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the per-document text-hash kernels of
+  * the dedup/fingerprint family. Semantics are bit-identical to the
+  * composed-builtin forms they replace (seeded `md5(concat('k#', tok))`
+  * votes/minima, `md5(substring(nt, i, 8))` shingles) — what these add is a
+  * single compiled pass per row: no interpreted higher-order-function
+  * lambdas, no per-element struct/array churn, one reused MessageDigest.
+  * Each stays inside whole-stage codegen via a static-call `defineCodeGen`
+  * (the [[CleanMarginIndexExpr]] pattern).
+  *
+  * Hex-vs-binary note: minima/maxima are tracked on raw digest bytes and
+  * hex-encoded once at the end — valid because the nibble→char map of
+  * lowercase hex is monotone, so unsigned-byte order equals the
+  * lexicographic order of the hex strings the builtin form compares.
+  */
+object TextHashExprs {
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexChars(d(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Seed prefixes "0#".."15#" as UTF-8 bytes, shared across rows. */
+  private val seedBytes: Array[Array[Byte]] =
+    (0 until 64).map(k => s"$k#".getBytes("UTF-8")).toArray
+
+  /** simhash over 16 bits: token votes +1 on bit b iff the top bit of
+    * md5("b#" + tok) is set (⟺ first hex digit >= '8'), else -1; bit set
+    * iff the vote sum is >= 0 (⟺ 2·pos >= n). */
+  def simhash16(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val pos = new Array[Int](16)
+    val md = md5Local.get()
+    val buf = new Array[Byte](16)
+    var i = 0
+    while (i < n) {
+      val tok = tokens.getUTF8String(i).getBytes
+      var b = 0
+      while (b < 16) {
+        md.reset()
+        md.update(seedBytes(b))
+        md.update(tok)
+        md.digest(buf, 0, 16)
+        if ((buf(0) & 0x80) != 0) pos(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 16) {
+      if (2 * pos(b) >= n) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** MinHash signature: for k in 0..numHashes-1, the minimum of
+    * md5("k#" + tok) over the tokens, hex-encoded. Empty input → array of
+    * nulls (callers exclude zero-token docs, matching the GROUP BY form). */
+  def minhashSig(tokens: ArrayData, numHashes: Int): ArrayData = {
+    require(numHashes <= seedBytes.length, s"numHashes $numHashes > ${seedBytes.length}")
+    val n = tokens.numElements()
+    val mins = new Array[Array[Byte]](numHashes)
+    val md = md5Local.get()
+    val buf = new Array[Byte](16)
+    var i = 0
+    while (i < n) {
+      val tok = tokens.getUTF8String(i).getBytes
+      var k = 0
+      while (k < numHashes) {
+        md.reset()
+        md.update(seedBytes(k))
+        md.update(tok)
+        md.digest(buf, 0, 16)
+        if (mins(k) == null || java.util.Arrays.compareUnsigned(buf, mins(k)) < 0)
+          mins(k) = buf.clone()
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(d => if (d == null) null else hex(d)))
+  }
+
+  /** (min, max) md5 over all `width`-char shingles of `nt` at positions
+    * 1..max(numChars-width+1, 1). Equivalent to folding
+    * `md5(substring(nt, i, width))` — positions count code points like the
+    * builtin substring, and each shingle's md5 is fed the exact byte slice
+    * that substring would produce — but the loop slides over the UTF-8
+    * bytes directly: zero allocation per position (the explode form and
+    * the first in-row form allocated a substring + byte copy + digest per
+    * character of the corpus). */
+  def shingleMinMax(nt: UTF8String, width: Int): InternalRow = {
+    val bytes = nt.getBytes
+    // code-point start offsets (ASCII fast path: skipped, offsets are 1:1);
+    // lead bytes are those not matching the 0b10xxxxxx continuation mask.
+    var ascii = true
+    var j = 0
+    while (ascii && j < bytes.length) { if (bytes(j) < 0) ascii = false; j += 1 }
+    val offsets: Array[Int] =
+      if (ascii) null
+      else {
+        val o = new Array[Int](nt.numChars() + 1)
+        var c = 0
+        var k = 0
+        while (k < bytes.length) {
+          if ((bytes(k) & 0xc0) != 0x80) { o(c) = k; c += 1 }
+          k += 1
+        }
+        o(c) = bytes.length
+        o
+      }
+    val numChars = if (ascii) bytes.length else offsets.length - 1
+    val positions = math.max(numChars - width + 1, 1)
+
+    val md = md5Local.get()
+    val buf = new Array[Byte](16)
+    var mn: Array[Byte] = null
+    var mx: Array[Byte] = null
+    var i = 0
+    while (i < positions) {
+      val from = if (ascii) i else offsets(i)
+      val until =
+        if (ascii) math.min(i + width, bytes.length)
+        else offsets(math.min(i + width, numChars))
+      md.reset()
+      md.update(bytes, from, until - from)
+      md.digest(buf, 0, 16)
+      if (mn == null) { mn = buf.clone(); mx = buf.clone() }
+      else {
+        if (java.util.Arrays.compareUnsigned(buf, mn) < 0) System.arraycopy(buf, 0, mn, 0, 16)
+        if (java.util.Arrays.compareUnsigned(buf, mx) > 0) System.arraycopy(buf, 0, mx, 0, 16)
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](hex(mn), hex(mx)))
+  }
+
+  /** Register all three for SQL/Column use in this session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "simhash16", exprs => SimHash16Expr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSigExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_minmax", exprs => ShingleMinMaxExpr(exprs(0), exprs(1)), "built-in")
+  }
+
+  def simhash16(tokens: Column): Column = call_function("simhash16", tokens)
+  def minhash_sig(tokens: Column, numHashes: Column): Column =
+    call_function("minhash_sig", tokens, numHashes)
+  def shingle_minmax(nt: Column, width: Column): Column =
+    call_function("shingle_minmax", nt, width)
+}
+
+case class SimHash16Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash16"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash16 requires array<string>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashExprs.simhash16(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHashExprs.simhash16($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16Expr =
+    copy(child = newChild)
+}
+
+case class MinHashSigExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires (array<string>, literal int), got $other")
+  }
+
+  override protected def nullSafeEval(tokens: Any, k: Any): Any =
+    TextHashExprs.minhashSig(tokens.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) => s"graft.plans.TextHashExprs.minhashSig($t, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSigExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+case class ShingleMinMaxExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("mn", StringType, nullable = true),
+    StructField("mx", StringType, nullable = true)))
+  override def prettyName: String = "shingle_minmax"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, IntegerType) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_minmax requires (string, literal int), got $other")
+  }
+
+  override protected def nullSafeEval(nt: Any, width: Any): Any =
+    TextHashExprs.shingleMinMax(nt.asInstanceOf[UTF8String], width.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, w) => s"graft.plans.TextHashExprs.shingleMinMax($s, $w)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleMinMaxExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.DedupJobs
+
+/** Properties of the scale-hardened MinHash dedup: verification soundness
+  * (verified ⊆ banded candidates; reported Jaccard is the exact set
+  * Jaccard) and observable hot-bucket truncation. */
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-dedup-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id"), col("text"))
+    .cache()
+
+  test("verified pairs are a subset of banded candidates, all above threshold") {
+    val cand = DedupJobs.candidatePairs(docs, numHashes = 8, bands = 4, bucketCap = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ver = DedupJobs.minhashVerified(docs, numHashes = 8, bands = 4,
+      bucketCap = 200, jaccardThreshold = 0.5).collect()
+    assert(ver.nonEmpty, "expected near-duplicates in the synthetic corpus")
+    ver.foreach { r =>
+      val pair = (r.getLong(0), r.getLong(1))
+      assert(cand.contains(pair), s"verified pair $pair not in candidates")
+      assert(r.getDouble(2) >= 0.5, s"pair $pair below threshold: ${r.getDouble(2)}")
+    }
+  }
+
+  test("reported jaccard equals the exact distinct-token-set jaccard") {
+    val sample = DedupJobs.minhashVerified(docs, 8, 4, 200, 0.5).limit(5).collect()
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def tokSet(id: Long): Set[String] =
+      "[a-z0-9]+".r.findAllIn(texts(id).toLowerCase).toSet
+    sample.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (sa, sb) = (tokSet(a), tokSet(b))
+      val expect = (sa intersect sb).size.toDouble / (sa union sb).size
+      assert(math.abs(r.getDouble(2) - expect) < 1e-12,
+        s"pair ($a,$b): got ${r.getDouble(2)}, exact $expect")
+    }
+  }
+
+  test("hot-bucket cap drops pairs observably, never silently") {
+    import spark.implicits._
+    // 20 identical docs form one hot bucket per band; 2 distinct outliers.
+    val hot = (0L until 20L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    val rest = Seq((100L, "completely different text about contracts and invoices"),
+      (101L, "another unrelated document concerning shipping manifests"))
+    val d = (hot ++ rest).toDF("doc_id", "text")
+
+    val dropped = DedupJobs.droppedBuckets(d, numHashes = 8, bands = 4, bucketCap = 10)
+      .collect()
+    assert(dropped.nonEmpty, "over-cap buckets must be reported")
+    assert(dropped.forall(_.getLong(2) == 20), "each hot bucket holds the 20 clones")
+
+    val capped = DedupJobs.candidatePairs(d, 8, 4, bucketCap = 10).count()
+    val uncapped = DedupJobs.candidatePairs(d, 8, 4, bucketCap = 30).count()
+    assert(capped == 0, s"capped run must drop the hot bucket's pairs, got $capped")
+    assert(uncapped == 20L * 19 / 2, s"uncapped run keeps all clone pairs, got $uncapped")
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.KgJob
+
+/** Physical-plan shape assertions for the queries whose scale behavior was
+  * rewritten: per-doc computations must not explode rows or shuffle beyond
+  * the output sort, and the similar-case join must never degenerate into a
+  * cartesian/nested-loop product at the default threshold. */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-plan-shape-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def assertInRow(name: String): Unit = {
+    val p = plan(SparkEntry.queries(name)(spark, sfDir))
+    assert(!p.contains("Generate"), s"$name plan has an explode:\n$p")
+    assert(!p.contains("CartesianProduct"), s"$name plan has a cartesian product")
+    assert(!p.contains("BroadcastNestedLoop"), s"$name plan has a nested-loop join")
+    val exchanges = "Exchange".r.findAllMatchIn(p).size
+    assert(exchanges <= 1, s"$name has $exchanges exchanges (only the output sort is allowed):\n$p")
+  }
+
+  test("q_dedup_simhash is per-row: no explode, no join, <=1 exchange") {
+    assertInRow("q_dedup_simhash")
+  }
+
+  test("q_fingerprint is per-row: no explode, no join, <=1 exchange") {
+    assertInRow("q_fingerprint")
+  }
+
+  test("q_dedup_minhash signature stage is in-row (no token explode before the banded join)") {
+    val p = plan(SparkEntry.queries("q_dedup_minhash")(spark, sfDir))
+    assert(!p.contains("Generate"), s"minhash plan explodes tokens:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("similarCases at threshold > 0.6 plans an equi-join, never a cross product") {
+    import spark.implicits._
+    val cases = Seq(
+      ("c1", "Action", "HIGH COURT", "granted", 100000.0),
+      ("c2", "Action", "HIGH COURT", "granted", 150000.0),
+      ("c3", "Application", "DISTRICT COURT", "dismissed", 120000.0)
+    ).toDF("case_key", "case_type", "court_name", "judgment_result", "claim_value")
+    val p = plan(KgJob.similarCases(cases, threshold = 0.7))
+    assert(!p.contains("CartesianProduct"), s"similarCases is a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoop"), s"similarCases is a nested-loop join:\n$p")
+  }
+}

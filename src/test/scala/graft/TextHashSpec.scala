@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TextHashExprs
+
+/** The native text-hash expressions must be bit-identical to the composed
+  * builtin forms they replaced (seeded md5 votes/minima, substring-shingle
+  * md5 min/max) — including on non-ASCII input, where the shingle slide
+  * must count code points exactly like the builtin substring. */
+class TextHashSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-texthash-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def df = {
+    import spark.implicits._
+    TextHashExprs.register(spark)
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog 42"),
+      (2L, "short"),
+      (3L, ""),
+      (4L, "aaaa aaaa aaaa aaaa"),
+      // non-ASCII: multi-byte code points must slide like substring()
+      (5L, "香港特別行政區高等法院原訟法庭民事訴訟判案書 mixed ascii 123"),
+      (6L, "ascii then 中文 then ascii again")
+    ).toDF("doc_id", "text")
+  }
+
+  test("simhash16 equals the filter/md5 builtin composition") {
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val n = size(col("toks"))
+    val reference = (0 until 16).map { b =>
+      val pos = size(filter(col("toks"),
+        tk => md5(concat(lit(s"$b#"), tk)).substr(lit(1), lit(1)) >= lit("8")))
+      when(pos * 2 >= n, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val rows = df.withColumn("toks", toks).filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        TextHashExprs.simhash16(col("toks")).as("got"), reference.as("want"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}"))
+  }
+
+  test("minhash_sig equals array_min over a transform of seeded md5") {
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val rows = df.withColumn("toks", toks).filter(size(col("toks")) > 0)
+      .withColumn("sig", TextHashExprs.minhash_sig(col("toks"), lit(4)))
+      .select(col("doc_id") +: (0 until 4).flatMap(k => Seq(
+        element_at(col("sig"), k + 1).as(s"got_$k"),
+        array_min(transform(col("toks"),
+          tk => md5(concat(lit(s"$k#"), tk)))).as(s"want_$k"))): _*)
+      .collect()
+    rows.foreach { r =>
+      (0 until 4).foreach(k =>
+        assert(r.getAs[String](s"got_$k") == r.getAs[String](s"want_$k"),
+          s"doc ${r.getLong(0)} hash $k"))
+    }
+  }
+
+  test("shingle_minmax equals the substring/md5 fold, including non-ASCII") {
+    val nt = lower(regexp_replace(col("text"), "\\s+", " "))
+    val hashes = transform(
+      sequence(lit(1), greatest(length(col("nt")) - 7, lit(1))),
+      i => md5(col("nt").substr(i, lit(8))))
+    val rows = df.withColumn("nt", nt)
+      .withColumn("mm", TextHashExprs.shingle_minmax(col("nt"), lit(8)))
+      .select(col("doc_id"),
+        col("mm.mn").as("got_mn"), col("mm.mx").as("got_mx"),
+        array_min(hashes).as("want_mn"), array_max(hashes).as("want_mx"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("got_mn") == r.getAs[String]("want_mn"), s"mn doc ${r.getLong(0)}")
+      assert(r.getAs[String]("got_mx") == r.getAs[String]("want_mx"), s"mx doc ${r.getLong(0)}")
+    }
+  }
+}
