@@ -76,6 +76,28 @@ object SparkEntry {
         sum(when(trim(coalesce(col("source"), lit(""))) =!= "", 1).otherwise(0)).as("source_complete"))
     }),
 
+    // A2/A3 routed through the ReportJob aggregations over records-shaped
+    // projections of the documents table, so the report code paths get
+    // driver-oracle rows (the golden report covers them on real records).
+    "q_court_dist" -> ((s, dir) => {
+      val courtName = when(col("doc_id") % 7 === 0, "unknown")
+        .otherwise(concat(col("source"), lit("_"), col("lang"), lit("_"),
+          repeat(lit("x"), (col("doc_id") % 4).cast("int") * 20)))
+      ReportJob.courtDistribution(
+        t(s, dir, "documents").select(courtName.as("court_name")))
+        .orderBy(col("court"))
+    }),
+
+    "q_casetype_dist" -> ((s, dir) => {
+      val caseType = when(col("doc_id") % 7 === 0, "unknown")
+        .when(col("doc_id") % 3 === 0, "Type Application")
+        .when(col("doc_id") % 3 === 1, "Debt Action")
+        .otherwise("Misc Proceedings")
+      ReportJob.caseTypeDistribution(
+        t(s, dir, "documents").select(caseType.as("case_type")))
+        .orderBy(col("bucket"))
+    }),
+
     // J-class joins / set ops ----------------------------------------------
     "q_customers_no_orders" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -480,6 +502,37 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN trim(coalesce(lang, '')) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS lang_complete,
         |  CAST(sum(CASE WHEN trim(coalesce(source, '')) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS source_complete
         |FROM documents""".stripMargin,
+
+    // 50-char truncation + blank/'unknown' exclusion per src/processor.py:207-211
+    "q_court_dist" ->
+      """WITH courts AS (
+        |  SELECT CASE WHEN doc_id % 7 = 0 THEN 'unknown'
+        |              ELSE concat(source, '_', lang, '_',
+        |                          repeat('x', CAST(doc_id % 4 AS INT) * 20)) END AS court_name
+        |  FROM documents)
+        |SELECT CASE WHEN length(court_name) > 50
+        |            THEN concat(substr(court_name, 1, 50), '...')
+        |            ELSE court_name END AS court,
+        |       count(*) AS count
+        |FROM courts
+        |WHERE court_name IS NOT NULL AND court_name <> '' AND court_name <> 'unknown'
+        |GROUP BY 1 ORDER BY court""".stripMargin,
+
+    // 3-bucket keyword classification per src/processor.py:213-221
+    "q_casetype_dist" ->
+      """WITH ct AS (
+        |  SELECT CASE WHEN doc_id % 7 = 0 THEN 'unknown'
+        |              WHEN doc_id % 3 = 0 THEN 'Type Application'
+        |              WHEN doc_id % 3 = 1 THEN 'Debt Action'
+        |              ELSE 'Misc Proceedings' END AS case_type
+        |  FROM documents)
+        |SELECT CASE WHEN lower(case_type) LIKE '%application%' THEN 'Application'
+        |            WHEN lower(case_type) LIKE '%action%' THEN 'Action'
+        |            ELSE 'Other' END AS bucket,
+        |       count(*) AS count
+        |FROM ct
+        |WHERE case_type IS NOT NULL AND case_type <> '' AND case_type <> 'unknown'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_customers_no_orders" ->
       """SELECT c_custkey, c_name FROM customer c

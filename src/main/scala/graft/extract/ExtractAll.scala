@@ -74,18 +74,23 @@ object ExtractAll {
     OutSpans(doc.doc_id, out.result())
   }
 
-  /** S3 — the page-tagged full-text view (`direct_llm_extractor.py:128-133`):
-    * each text span rendered under a `=== PAGE n ===` marker (1-based page
-    * numbers over text spans only; media spans contribute no page). */
+  /** S3 — the page-tagged full-text view (`direct_llm_extractor.py:126-133`):
+    * every non-empty page rendered between `\n=== PAGE n ===\n` and
+    * `\n=== END PAGE n ===\n` markers. Page numbers come from the enumerate
+    * index over ALL pages (text spans here), so an empty page skips its
+    * number without emitting markers — exactly the reference's
+    * `if page_text:` guard. Media spans are not pages. */
   def renderWithPageMarkers(doc: Doc): String = {
     val sb = new java.lang.StringBuilder
     var page = 0
     safeSpans(doc).foreach { s =>
       if (s.kind == "text") {
         page += 1
-        sb.append(s"=== PAGE $page ===\n")
-        sb.append(s.text)
-        sb.append('\n')
+        if (s.text.nonEmpty) {
+          sb.append(s"\n=== PAGE $page ===\n")
+          sb.append(s.text)
+          sb.append(s"\n=== END PAGE $page ===\n")
+        }
       }
     }
     sb.toString

@@ -42,19 +42,32 @@ object AnnJobs {
     math.rint(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000) / 10000
   })
 
-  /** Assign every embedding to its coarse cell. Returns (assigned, model). */
+  /** Assign every embedding to its coarse cell. Returns (assigned, model).
+    *
+    * The quantizer trains on a bounded sample (`maxTrainRows`): centroid
+    * quality needs only a representative sample, and at 100 TB a KMeans
+    * `fit` over the full table would iterate the whole corpus maxIter
+    * times. Assignment still covers every row. The sample is seeded, so
+    * the trained centroids are deterministic for a fixed input. */
   def assign(spark: SparkSession, embeddings: DataFrame, nlist: Int,
-             seed: Long = 42L): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
+             seed: Long = 42L, maxTrainRows: Long = 100000L)
+      : (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
     val withVec = embeddings.withColumn("features", toUnitVec(col("embedding")))
+    val n = withVec.count()
+    val train =
+      if (n <= maxTrainRows) withVec
+      else withVec.sample(withReplacement = false,
+        math.min(1.0, maxTrainRows.toDouble * 1.05 / n), seed)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(withVec)
+      .fit(train)
     (model.transform(withVec).withColumnRenamed("prediction", "cell"), model)
   }
 
   /** IVF top-k: queries probe their `nprobe` nearest cells only. */
   def ivfTopK(spark: SparkSession, embeddings: DataFrame, queryIds: Column,
-              k: Int = 5, nlist: Int = 8, nprobe: Int = 2): DataFrame = {
-    val (assigned, model) = assign(spark, embeddings, nlist)
+              k: Int = 5, nlist: Int = 8, nprobe: Int = 2,
+              maxTrainRows: Long = 100000L): DataFrame = {
+    val (assigned, model) = assign(spark, embeddings, nlist, maxTrainRows = maxTrainRows)
     val centroids = model.clusterCenters
 
     val nearestCells = udf((a: Seq[Float]) => {

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,36 +62,136 @@ object KgJob {
   private val parseLawyersUdf = udf((s: String) => parseLawyerSegment(s)._1)
   private val parseFirmsUdf = udf((s: String) => parseLawyerSegment(s)._2)
 
+  /** `clean_field` (`data_importer.py:120-123`): blank / whitespace-only /
+    * 'unknown' (case-insensitive) → "", else trimmed. */
+  private def cleanField(c: Column): Column = {
+    val raw = coalesce(c.cast("string"), lit(""))
+    when(trim(raw) === "" || lower(raw) === "unknown", lit("")).otherwise(trim(raw))
+  }
+
+  /** Column access tolerant of narrower record schemas (tests and partial
+    * pipelines feed records without every extraction field). */
+  private def fieldOr(records: DataFrame, name: String): Column =
+    if (records.columns.contains(name)) col(name) else lit("")
+
+  /** Case node id (`data_importer.py:126-133`): cleaned case_number, else
+    * cleaned file_name, else a synthesized id. The reference uses Python's
+    * run-dependent `f"case_{hash(str(case_data))}"[:16]`; the stable
+    * replacement promised in SURVEY.md §2.8 is a 16-char `case_<md5-prefix>`
+    * over the record's fields, deterministic across runs and executors. */
+  private def caseKey(records: DataFrame): Column = {
+    val fields = Seq("case_number", "file_name", "court_name", "judge",
+      "plaintiff", "defendant", "lawyer", "trial_date", "case_type",
+      "judgment_result", "claim_amount", "judgment_amount", "language",
+      "document_type")
+    val stable = concat(lit("case_"),
+      substring(md5(concat_ws("", fields.map(f => cleanField(fieldOr(records, f))): _*)), 1, 11))
+    val cn = cleanField(fieldOr(records, "case_number"))
+    val fn = cleanField(fieldOr(records, "file_name"))
+    when(cn =!= "", cn).when(fn =!= "", fn).otherwise(stable)
+  }
+
+  /** `config.CASE_TYPES` / `config.JUDGMENT_RESULTS`
+    * (`knowledge_graph/config.py:57-77`) — the Chinese display names
+    * attached to Case nodes. Lookups key on the RAW field value, exactly
+    * like the reference's `.get(case_data.get(...), '')`. */
+  private val caseTypesCn = Map(
+    "Trust Dispute" -> "信托纠纷", "Commercial Dispute" -> "商业纠纷",
+    "Debt Recovery" -> "债务追讨", "Contract Dispute" -> "合同纠纷",
+    "Civil Action" -> "民事诉讼", "Appeal" -> "上诉",
+    "Mareva Injunction Discharge Application" -> "马瑞华禁制令撤销申请",
+    "Setting Aside Application" -> "撤销申请",
+    "Amendment Application" -> "修正申请",
+    "Miscellaneous Proceedings" -> "杂项法律程序")
+  private val judgmentResultsCn = Map(
+    "Win" -> "胜诉", "Lose" -> "败诉", "Appeal Dismissed" -> "上诉被驳回",
+    "Plaintiff Withdrawn" -> "原告撤诉", "unknown" -> "未知")
+
+  private def cnLookup(m: Map[String, String], c: Column): Column =
+    coalesce(element_at(typedlit(m), coalesce(c.cast("string"), lit(""))), lit(""))
+
   /** Records → exploded per-case entity view (cached intermediate). */
   private def entityView(records: DataFrame): DataFrame =
     records.select(
-      coalesce(col("case_number"), col("file_name")).as("case_key"),
-      col("court_name"), col("judge"),
+      caseKey(records).as("case_key"),
+      cleanField(fieldOr(records, "file_name")).as("file_name"),
+      cleanField(col("court_name")).as("court_name"),
+      cleanField(col("judge")).as("judge"),
       parsePartiesUdf(col("plaintiff")).as("plaintiffs"),
       parsePartiesUdf(col("defendant")).as("defendants"),
       parseLawyersUdf(col("lawyer")).as("lawyers"),
-      parseFirmsUdf(col("lawyer")).as("firms"))
+      parseFirmsUdf(col("lawyer")).as("firms"),
+      lower(coalesce(col("lawyer"), lit(""))).as("lawyer_segment_lc"),
+      caseProps(records).as("case_props"))
 
-  /** Nodes: Case, Court, Judge, Plaintiff, Defendant, Lawyer, LawFirm —
-    * deduped on (type, name) (`data_importer.py:350-358` semantics). */
+  /** Case-node property map (`data_importer.py:135-155`): every extraction
+    * field clean_field'd, plus the _cn display-name lookups on the raw
+    * values; `file_name` falls back to the resolved case id. */
+  private def caseProps(records: DataFrame): Column = {
+    def f(n: String): Column = cleanField(fieldOr(records, n))
+    map(
+      lit("case_number"), caseKey(records),
+      lit("file_name"), when(f("file_name") =!= "", f("file_name")).otherwise(caseKey(records)),
+      lit("trial_date"), f("trial_date"),
+      lit("case_type"), f("case_type"),
+      lit("case_type_cn"), cnLookup(caseTypesCn, fieldOr(records, "case_type")),
+      lit("judgment_result"), f("judgment_result"),
+      lit("judgment_result_cn"), cnLookup(judgmentResultsCn, fieldOr(records, "judgment_result")),
+      lit("claim_amount"), f("claim_amount"),
+      lit("judgment_amount"), f("judgment_amount"),
+      lit("language"), f("language"),
+      lit("document_type"), f("document_type"),
+      lit("court_name"), f("court_name"),
+      lit("judge"), f("judge"),
+      lit("plaintiff"), f("plaintiff"),
+      lit("defendant"), f("defendant"))
+  }
+
+  /** Nodes: Case, Court, Judge, Plaintiff, Defendant, Lawyer, LawFirm with
+    * their reference property maps (`data_importer.py:135-234`), deduped on
+    * (type, name) keeping the FIRST occurrence in file order — the
+    * relational form of the reference's entity cache, which only creates a
+    * node the first time a (type, name) is seen (`data_importer.py:238-250`). */
   def nodes(records: DataFrame): DataFrame = {
     val ev = entityView(records)
-    val cases = ev.select(lit("Case").as("type"), col("case_key").as("name"))
+    val cases = ev.select(lit("Case").as("type"), col("case_key").as("name"),
+      col("case_props").as("props"), col("file_name"))
+    def roleProps(role: String): Column =
+      map(lit("name"), col("name"), lit("role"), lit(role))
+    def typeProps(t: String): Column =
+      map(lit("name"), col("name"), lit("type"), lit(t))
     val courts = ev.filter(col("court_name") =!= "")
-      .select(lit("Court").as("type"), col("court_name").as("name"))
+      .select(lit("Court").as("type"), col("court_name").as("name"), col("file_name"))
+      .withColumn("props", typeProps("court"))
     val judges = ev.filter(col("judge") =!= "")
-      .select(lit("Judge").as("type"), col("judge").as("name"))
-    val plaintiffs = ev.select(explode(col("plaintiffs")).as("name"))
-      .select(lit("Plaintiff").as("type"), col("name"))
-    val defendants = ev.select(explode(col("defendants")).as("name"))
-      .select(lit("Defendant").as("type"), col("name"))
-    val lawyers = ev.select(explode(col("lawyers")).as("name"))
-      .select(lit("Lawyer").as("type"), col("name"))
-    val firms = ev.select(explode(col("firms")).as("name"))
-      .select(lit("LawFirm").as("type"), col("name"))
-    cases.unionByName(courts).unionByName(judges).unionByName(plaintiffs)
-      .unionByName(defendants).unionByName(lawyers).unionByName(firms)
-      .dropDuplicates("type", "name")
+      .select(lit("Judge").as("type"), col("judge").as("name"), col("file_name"))
+      .withColumn("props", roleProps("judge"))
+    val plaintiffs = ev.select(explode(col("plaintiffs")).as("name"), col("file_name"))
+      .select(lit("Plaintiff").as("type"), col("name"), col("file_name"))
+      .withColumn("props", roleProps("plaintiff"))
+    val defendants = ev.select(explode(col("defendants")).as("name"), col("file_name"))
+      .select(lit("Defendant").as("type"), col("name"), col("file_name"))
+      .withColumn("props", roleProps("defendant"))
+    val lawyers = ev.select(explode(col("lawyers")).as("name"), col("file_name"))
+      .select(lit("Lawyer").as("type"), col("name"), col("file_name"))
+      .withColumn("props", roleProps("lawyer"))
+    val firms = ev.select(explode(col("firms")).as("name"), col("file_name"))
+      .select(lit("LawFirm").as("type"), col("name"), col("file_name"))
+      .withColumn("props", typeProps("law_firm"))
+
+    val all = cases.select("type", "name", "props", "file_name")
+      .unionByName(courts.select("type", "name", "props", "file_name"))
+      .unionByName(judges.select("type", "name", "props", "file_name"))
+      .unionByName(plaintiffs.select("type", "name", "props", "file_name"))
+      .unionByName(defendants.select("type", "name", "props", "file_name"))
+      .unionByName(lawyers.select("type", "name", "props", "file_name"))
+      .unionByName(firms.select("type", "name", "props", "file_name"))
+    // first-occurrence-wins, made deterministic by file order
+    val w = Window.partitionBy(col("type"), col("name"))
+      .orderBy(col("file_name"))
+    all.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("type"), col("name"), col("props"))
   }
 
   /** Edges: HEARD_IN, JUDGED_BY, INVOLVES_PLAINTIFF, INVOLVES_DEFENDANT,
@@ -125,8 +225,30 @@ object KgJob {
         lit("Plaintiff").as("src_type"), col("p").as("src_name"),
         lit("SUES").as("rel_type"),
         lit("Defendant").as("dst_type"), col("d").as("dst_name"))
+    // REPRESENTED_BY (`data_importer.py:306-322`): lawyer → party, gated on
+    // the lawyer segment mentioning the party's role (the reference's
+    // coarse 'plaintiff'/'defendant' substring check).
+    def representedBy(roleWord: String, partiesCol: String, dstType: String): DataFrame =
+      ev.filter(col("lawyer_segment_lc").contains(roleWord))
+        .select(explode(col("lawyers")).as("l"), col(partiesCol))
+        .select(col("l"), explode(col(partiesCol)).as("p"))
+        .select(
+          lit("Lawyer").as("src_type"), col("l").as("src_name"),
+          lit("REPRESENTED_BY").as("rel_type"),
+          lit(dstType).as("dst_type"), col("p").as("dst_name"))
+    val repP = representedBy("plaintiff", "plaintiffs", "Plaintiff")
+    val repD = representedBy("defendant", "defendants", "Defendant")
+    // WORKS_FOR (`data_importer.py:324-329`): lawyer → firm, per case.
+    val worksFor = ev
+      .select(explode(col("lawyers")).as("l"), col("firms"))
+      .select(col("l"), explode(col("firms")).as("f"))
+      .select(
+        lit("Lawyer").as("src_type"), col("l").as("src_name"),
+        lit("WORKS_FOR").as("rel_type"),
+        lit("LawFirm").as("dst_type"), col("f").as("dst_name"))
     heardIn.unionByName(judgedBy).unionByName(invP).unionByName(invD)
-      .unionByName(sues)
+      .unionByName(sues).unionByName(repP).unionByName(repD)
+      .unionByName(worksFor)
   }
 
   /** A7 — node/relationship statistics

@@ -38,13 +38,25 @@ object ReportJob {
       .agg(count(lit(1)).as("count"))
 
   /** A4 — per-field completeness in ONE pass over the table
-    * (`src/processor.py:223-240`): count of non-blank values per field. */
+    * (`src/processor.py:229-240`): per field, the reference report's
+    * `complete` / `missing` / `percentage` triple. Still a single wide agg
+    * (partial aggregation map-side for free); the one result row is then
+    * unpivoted driver-side-free with `stack`. */
   def fieldCompleteness(records: DataFrame, fields: Seq[String]): DataFrame = {
     val aggs = fields.map { f =>
-      sum(when(trim(coalesce(col(f), lit(""))) =!= "", 1).otherwise(0)).as(f)
+      sum(when(trim(coalesce(col(f), lit(""))) =!= "", 1).otherwise(0))
+        .cast("long").as(f)
     }
-    val totals = records.agg(count(lit(1)).as("total"), aggs: _*)
-    totals
+    val wide = records.agg(count(lit(1)).as("total"), aggs: _*)
+    val stackArgs = fields.map(f => s"'$f', `$f`").mkString(", ")
+    wide
+      .selectExpr("total", s"stack(${fields.size}, $stackArgs) AS (field, complete)")
+      .select(
+        col("field"), col("complete"),
+        (col("total") - col("complete")).as("missing"),
+        when(col("total") > 0,
+          col("complete").cast("double") / col("total") * 100.0)
+          .otherwise(0.0).as("percentage"))
   }
 
   val reportFields: Seq[String] = Seq(

@@ -41,4 +41,24 @@ class AnnSpec extends AnyFunSuite {
     val r2 = recallOf(ivf2)
     assert(r2 > 0.2 && r2 < 1.0, f"recall@5 with nprobe=2/8: $r2%.2f")
   }
+
+  test("sample-trained quantizer (the 100-TB path) keeps IVF recall properties") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val isQuery = col("vec_id") < 20
+    val brute = AnnJobs.bruteForceTopK(spark, emb, isQuery, k = 5).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+    // force sampling: train on ~1/4 of the table
+    val total = emb.count()
+    val ivf = AnnJobs.ivfTopK(spark, emb, isQuery, k = 5, nlist = 8,
+      nprobe = 8, maxTrainRows = total / 4).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+    // probing all cells recovers brute force regardless of where the
+    // sampled centroids landed
+    val recall = brute.keys.toSeq
+      .map(q => (ivf(q) intersect brute(q)).size.toDouble / brute(q).size)
+      .sum / brute.size
+    assert(recall == 1.0, f"sampled-training recall at nprobe=nlist: $recall%.2f")
+  }
 }

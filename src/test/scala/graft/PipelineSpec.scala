@@ -117,11 +117,15 @@ class PipelineSpec extends AnyFunSuite {
 
     val fcGolden = golden.get("field_completeness")
       .asInstanceOf[java.util.Map[String, java.util.Map[String, Number]]]
-    val fcRow = ReportJob.fieldCompleteness(records, ReportJob.reportFields).collect()(0)
+    val fcRows = ReportJob.fieldCompleteness(records, ReportJob.reportFields)
+      .collect().map(r => r.getString(0) -> r).toMap
     ReportJob.reportFields.foreach { f =>
-      val expect = fcGolden.get(f).get("complete").longValue()
-      val got = fcRow.getAs[Long](f)
-      assert(got == expect, s"completeness $f: got $got expect $expect")
+      val g = fcGolden.get(f)
+      val row = fcRows(f)
+      assert(row.getAs[Long]("complete") == g.get("complete").longValue(), s"complete $f")
+      assert(row.getAs[Long]("missing") == g.get("missing").longValue(), s"missing $f")
+      assert(math.abs(row.getAs[Double]("percentage") - g.get("percentage").doubleValue()) < 1e-9,
+        s"percentage $f")
     }
   }
 
@@ -161,8 +165,55 @@ class PipelineSpec extends AnyFunSuite {
     // SUES: 2x2 for case 1 + 1x1 for case 2 = 5
     assert(edges.filter(col("rel_type") === "SUES").count() == 5)
     assert(edges.filter(col("rel_type") === "HEARD_IN").count() == 2)
+    // lawyer segment of case 1 mentions 'plaintiff' → 1 lawyer × 2 plaintiffs
+    assert(edges.filter(col("rel_type") === "REPRESENTED_BY").count() == 2)
+    assert(edges.filter(col("rel_type") === "WORKS_FOR").count() == 1)
     val stats = KgJob.nodeStatistics(nodes).collect()
     assert(stats.head.getLong(1) >= stats.last.getLong(1))
+  }
+
+  test("KG node props follow the reference property maps (data_importer.py:135-234)") {
+    import spark.implicits._
+    val records = Seq(
+      ("ACTION NO 9 OF 2021", "HIGH COURT", "Chan", "P1", "D1",
+        "Mr John Tse, instructed by Wong & Co, for the plaintiff",
+        "Civil Action", "Win", "HK$1,000", "english", "f9.pdf")
+    ).toDF("case_number", "court_name", "judge", "plaintiff", "defendant",
+      "lawyer", "case_type", "judgment_result", "claim_amount", "language", "file_name")
+    val nodes = KgJob.nodes(records).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getMap[String, String](2).toMap).toMap
+
+    val caseProps = nodes(("Case", "ACTION NO 9 OF 2021"))
+    assert(caseProps("case_number") == "ACTION NO 9 OF 2021")
+    assert(caseProps("file_name") == "f9.pdf")
+    assert(caseProps("case_type") == "Civil Action")
+    assert(caseProps("case_type_cn") == "民事诉讼")
+    assert(caseProps("judgment_result_cn") == "胜诉")
+    assert(caseProps("claim_amount") == "HK$1,000")
+    assert(caseProps("judgment_amount") == "") // absent column → cleaned blank
+    assert(nodes(("Court", "HIGH COURT")) == Map("name" -> "HIGH COURT", "type" -> "court"))
+    assert(nodes(("Judge", "Chan")) == Map("name" -> "Chan", "role" -> "judge"))
+    assert(nodes(("Plaintiff", "P1")) == Map("name" -> "P1", "role" -> "plaintiff"))
+    assert(nodes(("Lawyer", "Mr John Tse")) == Map("name" -> "Mr John Tse", "role" -> "lawyer"))
+    assert(nodes(("LawFirm", "Wong & Co")) == Map("name" -> "Wong & Co", "type" -> "law_firm"))
+  }
+
+  test("blank case_number+file_name cases get distinct stable-hash ids; 'unknown' is cleaned") {
+    import spark.implicits._
+    val records = Seq(
+      ("", "COURT A", "Judge A", "PA", "DA", "", ""),
+      ("", "COURT B", "Judge B", "PB", "DB", "", ""),
+      ("unknown", "COURT C", "Judge C", "PC", "DC", "", "f3.pdf")
+    ).toDF("case_number", "court_name", "judge", "plaintiff", "defendant", "lawyer", "file_name")
+    val caseNames = KgJob.nodes(records).filter(col("type") === "Case")
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(caseNames.length == 3, s"got $caseNames")
+    // two blank-key cases must NOT collapse into one node
+    val hashed = caseNames.filter(_.startsWith("case_"))
+    assert(hashed.length == 2 && hashed.distinct.length == 2, s"got $caseNames")
+    assert(hashed.forall(_.length == 16), "reference truncates to 16 chars")
+    // 'unknown' case_number is cleaned away → file_name id
+    assert(caseNames.contains("f3.pdf"))
   }
 
   test("similar cases: theta self-join + per-case top-10 (J2)") {
