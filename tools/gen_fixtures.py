@@ -429,6 +429,97 @@ def chinese_variants(rng, idx):
     return doc_id, [page0] + body
 
 
+def many_defendants(rng, idx):
+    """>=10 defendants: ordinal suffixes beyond 3rd and the parser/format
+    cap paths (numbered-party parser, formatPartiesSmart budgets)."""
+    num = rng.randint(1, 2999)
+    year = rng.randint(2016, 2023)
+    doc_id = f"HCAB{num:06d}_{year}"
+    pl = rng.choice(COMPANIES)
+    n_df = rng.randint(10, 13)
+    defendants = [person(rng) if rng.random() < 0.5 else rng.choice(COMPANIES)
+                  for _ in range(n_df)]
+    judge = rng.choice(JUDGES)
+    hdr = [f"HCA {num}/{year}",
+           "IN THE HIGH COURT OF THE",
+           "HONG KONG SPECIAL ADMINISTRATIVE REGION",
+           "COURT OF FIRST INSTANCE",
+           f"ACTION NO {num} OF {year}",
+           "____________",
+           "BETWEEN",
+           f"  {pl}",
+           "  Plaintiff",
+           " and "]
+    for i, d in enumerate(defendants, 1):
+        sfx = {1: "st", 2: "nd", 3: "rd"}.get(i if i < 20 else i % 10, "th")
+        if 10 <= i <= 20:
+            sfx = "th"
+        hdr += [f"  {d}", f"  {i}{sfx} Defendant"]
+    hdr += ["____________",
+            f"Before: Hon {judge} J in Chambers",
+            f"Date of Hearing: {rng.randint(1, 28)} May {year}",
+            "J U D G M E N T"]
+    pages = ["\n".join(hdr)] + body_pages(rng, rng.randint(3, 5),
+                                          claim_amt=rng.randrange(500_000, 5_000_000, 1000))
+    pages.append("ORDER\n1. The claims against all defendants are dismissed.\n")
+    law, firm = rng.choice(LAWYERS)
+    pages.append(f"{law}, instructed by {firm}, for the plaintiff")
+    return doc_id, pages
+
+
+def and_in_defendant(rng, idx):
+    """' AND ' inside the DEFENDANT company name: the BETWEEN splitter takes
+    the FIRST '\\s+AND\\s+' match (src/extractor.py:772-781), so an AND-named
+    defendant stresses the defendant-side section boundaries too."""
+    num = rng.randint(1, 2999)
+    year = rng.randint(2016, 2023)
+    doc_id = f"HCAC{num:06d}_{year}"
+    pl = rng.choice([p for p in COMPANIES if " AND " not in p])
+    df = rng.choice(["SMITH AND SONS ENGINEERING LIMITED",
+                     "LEE AND CHAN PROPERTY AGENCY LIMITED"])
+    judge = rng.choice(JUDGES)
+    page0 = "\n".join([
+        f"HCA {num}/{year}",
+        "IN THE HIGH COURT OF THE",
+        "HONG KONG SPECIAL ADMINISTRATIVE REGION",
+        "COURT OF FIRST INSTANCE",
+        f"ACTION NO {num} OF {year}",
+        "____________",
+        "BETWEEN",
+        f"  {pl}",
+        "  Plaintiff",
+        " and ",
+        f"  {df}",
+        "  Defendant",
+        "____________",
+        f"Before: Hon {judge} J in Chambers",
+        f"Date of Hearing: {rng.randint(1, 28)} June {year}",
+        "J U D G M E N T",
+    ])
+    pages = [page0] + body_pages(rng, rng.randint(3, 5),
+                                 claim_amt=rng.randrange(100_000, 3_000_000, 1000))
+    pages.append("ORDER\n1. Judgment for the plaintiff with costs.\n")
+    law, firm = rng.choice(LAWYERS)
+    pages.append(f"{law}, instructed by {firm}, for the plaintiff")
+    return doc_id, pages
+
+
+def mixed_currency_judgment(rng, idx):
+    """Judgment amounts in two currencies → the cross-currency max-by-value
+    branch (src/extractor.py:2586-2589) on the judgment_amount path."""
+    base_id, pages = hca_between(rng, idx)
+    doc_id = base_id.replace("HCA", "HCAY")
+    # overlapping ranges so either currency can carry the max (the
+    # reference compares raw numeric values with no FX conversion)
+    usd = rng.randrange(500_000, 9_000_000, 1000)
+    hkd = rng.randrange(500_000, 9_000_000, 1000)
+    pages.insert(len(pages) - 1,
+                 "For the foregoing reasons the defendant shall pay the plaintiff "
+                 f"USD {usd:,} under the first agreement and a further judgment sum of "
+                 f"HK${hkd:,} under the facility letter, together with interest.")
+    return doc_id, pages
+
+
 ARCHETYPES = [
     ("hca_between", lambda r, i: hca_between(r, i), 10),
     ("hca_split_year", lambda r, i: hca_between(r, i, split_year=True), 4),
@@ -447,6 +538,10 @@ ARCHETYPES = [
     ("and_in_name", and_in_name, 4),
     ("corrigendum_variants", corrigendum_variants, 5),
     ("chinese_variants", chinese_variants, 8),
+    # appended round 2 (VERDICT item 10) — earlier rng stream unchanged
+    ("many_defendants", many_defendants, 4),
+    ("and_in_defendant", and_in_defendant, 4),
+    ("mixed_currency_judgment", mixed_currency_judgment, 4),
 ]
 
 
