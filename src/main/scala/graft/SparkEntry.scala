@@ -142,7 +142,13 @@ object SparkEntry {
     }),
 
     "q_similar_docs" -> ((s, dir) => {
-      // J2: theta self-join + per-key top-k (graph_database.py:240-271 shape)
+      // J2: similarity self-join + per-key top-k (graph_database.py:240-271
+      // shape). Decomposed into equi-joins instead of the N² theta join:
+      // similarity >= 0.5 forces lang equality (0.5) OR source equality +
+      // |Δn| < 100 (0.3 + 0.2 = exactly 0.5), so candidates are the union
+      // of (1) an equi-join on lang and (2) an equi-join on (source,
+      // n-chars band) over bands of width 100 plus the ±1 neighbor bands —
+      // branch (2) keeps only lang-unequal pairs, making the union disjoint.
       val d = t(s, dir, "documents")
       val a = d.filter(col("doc_id") < 50).select(
         col("doc_id").as("a_id"), col("lang").as("a_lang"),
@@ -150,11 +156,24 @@ object SparkEntry {
       val b = d.select(
         col("doc_id").as("b_id"), col("lang").as("b_lang"),
         col("source").as("b_source"), col("n_chars").as("b_n"))
+
+      val candLang = a.join(b,
+        col("a_lang") === col("b_lang") && col("a_id") =!= col("b_id"))
+      val aBanded = a.withColumn("a_band",
+        explode(array(floor(col("a_n") / 100) - 1, floor(col("a_n") / 100),
+          floor(col("a_n") / 100) + 1)))
+      val bBanded = b.withColumn("b_band", floor(col("b_n") / 100))
+      val candRange = aBanded.join(bBanded,
+          col("a_source") === col("b_source") && col("a_band") === col("b_band") &&
+          col("a_id") =!= col("b_id"))
+        .filter(col("a_lang") =!= col("b_lang") && abs(col("a_n") - col("b_n")) < 100)
+        .drop("a_band", "b_band")
+
       val sim = when(col("a_lang") === col("b_lang"), 0.5).otherwise(0.0) +
         when(col("a_source") === col("b_source"), 0.3).otherwise(0.0) +
         when(abs(col("a_n") - col("b_n")) < 100, 0.2).otherwise(0.0)
       val w = Window.partitionBy(col("a_id")).orderBy(desc("similarity"), col("b_id"))
-      a.join(broadcast(b), col("a_id") =!= col("b_id"))
+      candLang.unionByName(candRange)
         .withColumn("similarity", sim)
         .filter(col("similarity") >= 0.5)
         .withColumn("rn", row_number().over(w))

@@ -45,6 +45,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("q_similar_docs plans equi-joins only (no cartesian/nested-loop)") {
+    val p = plan(SparkEntry.queries("q_similar_docs")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"q_similar_docs has a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoop"), s"q_similar_docs has a nested-loop join:\n$p")
+  }
+
   test("similarCases at threshold > 0.6 plans an equi-join, never a cross product") {
     import spark.implicits._
     val cases = Seq(
