@@ -270,6 +270,38 @@ object SparkEntry {
         ORDER BY doc_a, doc_b""")
     }),
 
+    "q_dedup_ngram_capped" -> ((s, dir) =>
+      // Full-corpus ngram Jaccard made feasible by the document-frequency
+      // cap (the uncapped q_dedup_ngram needs its demo-scale doc_a filter).
+      graft.pipeline.DedupJobs.ngramJaccardCapped(
+        t(s, dir, "documents"), n = 3, dfCap = 50, threshold = 0.6)),
+
+    "q_dedup_embedding" -> ((s, dir) => {
+      // Embedding-cosine near-dup: candidates restricted to the sign-LSH
+      // bucket (same 8-bit bucketing as the ANN family), exact cosine on
+      // in-bucket pairs only — never all-pairs. The synthetic embeddings
+      // are near-orthogonal, so the demonstrative threshold is low; at a
+      // real corpus it would sit at ~0.95.
+      val e = t(s, dir, "embeddings")
+      val bucket = (1 to 8).map(i =>
+        when(element_at(col("embedding"), i) > 0, 1 << (i - 1)).otherwise(0))
+        .reduce(_ + _)
+      val withB = e.withColumn("bucket", bucket)
+      val dotExpr = (x: Column, y: Column) =>
+        aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      val a = withB.select(col("vec_id").as("id_a"), col("embedding").as("a_emb"), col("bucket"))
+      val b = withB.select(col("vec_id").as("id_b"), col("embedding").as("b_emb"), col("bucket"))
+      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .withColumn("cos_sim", round(
+          dotExpr(col("a_emb"), col("b_emb")) /
+            (sqrt(dotExpr(col("a_emb"), col("a_emb"))) *
+             sqrt(dotExpr(col("b_emb"), col("b_emb")))), 4))
+        .filter(col("cos_sim") >= 0.2)
+        .select(col("id_a"), col("id_b"), col("cos_sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Similarity search ----------------------------------------------------
     "q_ann_cosine" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -711,6 +743,48 @@ object SparkEntry {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) > 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Mirrors DedupJobs.ngramJaccardCapped(n=3, dfCap=50, threshold=0.6):
+    // Jaccard over the capped distinct-trigram sets, full corpus.
+    "q_dedup_ngram_capped" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lang, lower(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |tri AS (
+        |  SELECT DISTINCT doc_id, lang, substr(nt, CAST(i AS INT), 3) AS g
+        |  FROM norm, unnest(range(1, CAST(greatest(length(nt) - 2, 1) AS BIGINT) + 1)) AS t(i)),
+        |dfreq AS (SELECT lang, g, count(*) AS df FROM tri GROUP BY 1, 2),
+        |kept AS (SELECT tri.* FROM tri JOIN dfreq USING (lang, g) WHERE dfreq.df <= 50),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) > 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH withb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END +
+        |     CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END +
+        |     CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END +
+        |     CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END +
+        |     CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END +
+        |     CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+        |FROM withb a JOIN withb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb

@@ -100,4 +100,40 @@ object DedupJobs {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** n-gram Jaccard with a DOCUMENT-FREQUENCY cap on the join key: shingles
+    * occurring in more than `dfCap` documents are dropped from both the
+    * join and the per-doc set sizes (Jaccard is then over the capped sets,
+    * a stated semantic of this operator — near-universal shingles carry no
+    * dedup signal but form quadratic-blowup buckets in the equi-join; the
+    * uncapped q_dedup_ngram only survives behind a demo-scale filter).
+    * The per-doc distinct shingle set is built in-row
+    * (transform + array_distinct) so only distinct (doc, shingle) rows are
+    * ever exploded into the shuffle. */
+  def ngramJaccardCapped(docs: DataFrame, n: Int = 3, dfCap: Int = 50,
+                         threshold: Double = 0.6): DataFrame = {
+    val nt = lower(regexp_replace(col("text"), "\\s+", " "))
+    val shingles = array_distinct(transform(
+      sequence(lit(1), greatest(length(col("nt")) - (n - 1), lit(1))),
+      i => col("nt").substr(i, lit(n))))
+    val tri = docs
+      .withColumn("nt", nt)
+      .select(col("doc_id"), col("lang"), explode(shingles).as("g"))
+    val dfreq = tri.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("df"))
+    val kept = tri.join(dfreq.filter(col("df") <= dfCap), Seq("lang", "g"))
+      .select(col("doc_id"), col("lang"), col("g"))
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = kept.select(col("doc_id").as("doc_a"), col("lang"), col("g"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("lang"), col("g")), Seq("lang", "g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") > threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

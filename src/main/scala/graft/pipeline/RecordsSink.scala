@@ -26,10 +26,35 @@ object RecordsSink {
     records.write.mode(SaveMode.Overwrite).json(path)
 
   /** CSV with header (the reference's pandas `to_csv` analogue; the
-    * utf-8-sig BOM is a pandas artifact we do not reproduce). */
+    * utf-8-sig BOM is a pandas artifact we do not reproduce here — the
+    * distributed part files couldn't each carry one. See
+    * [[writeExcelCompatibleCsv]] for the BOM'd single-file form). */
   def writeCsv(records: DataFrame, path: String): Unit =
     records.write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(path)
+
+  /** S6 — Excel-compatible export. The reference writes `.xlsx` of the same
+    * flat records table via openpyxl (`src/processor.py:171-177`); this
+    * container has no spreadsheet library, so the export is the
+    * Excel-interchange CSV form: UTF-8 BOM (what the reference's own CSV
+    * sink emits via `encoding='utf-8-sig'`, `src/processor.py:166`), CRLF
+    * row ends, all fields quoted. Driver-side single file — small corpora
+    * only (the reference's sink also materializes the whole DataFrame
+    * driver-side); use [[writeCsv]] for bulk. */
+  def writeExcelCompatibleCsv(records: DataFrame, file: String): Unit = {
+    val cols = records.columns
+    def q(s: String): String =
+      "\"" + (if (s == null) "" else s).replace("\"", "\"\"") + "\""
+    val sb = new StringBuilder("\ufeff")
+    sb.append(cols.map(q).mkString(",")).append("\r\n")
+    records.collect().foreach { r =>
+      sb.append(cols.indices.map { i =>
+        q(Option(r.get(i)).map(_.toString).orNull)
+      }.mkString(",")).append("\r\n")
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(file),
+      sb.toString.getBytes("UTF-8"))
+  }
 
   private def jsonEscape(s: String): String = {
     val sb = new StringBuilder

@@ -50,6 +50,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("capped ngram-jaccard: hot shingles carry no pairs, rare shingles still match") {
+    import spark.implicits._
+    // every doc shares the hot phrase; only docs 1 and 2 share rare content
+    val hotPhrase = "all rights reserved standard disclaimer text"
+    val d = Seq(
+      (1L, "en", s"zebra quartz xylophone unique alpha $hotPhrase"),
+      (2L, "en", s"zebra quartz xylophone unique alpha $hotPhrase"),
+      (3L, "en", s"different content entirely here $hotPhrase"),
+      (4L, "en", s"yet another unrelated body of text $hotPhrase"),
+      (5L, "en", s"fifth document with its own words $hotPhrase")
+    ).toDF("doc_id", "lang", "text")
+    // cap 2: shingles in >2 docs (the hot phrase, in all 5) are dropped
+    val pairs = DedupJobs.ngramJaccardCapped(d, n = 3, dfCap = 2, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)),
+      s"only the rare-content pair should survive the cap, got ${pairs.toSeq}")
+  }
+
   test("hot-bucket cap drops pairs observably, never silently") {
     import spark.implicits._
     // 20 identical docs form one hot bucket per band; 2 distinct outliers.

@@ -78,4 +78,23 @@ class ExprSinkSpec extends AnyFunSuite {
     }
     assert(firstKeys.take(15) == RecordsSink.referenceKeyOrder)
   }
+
+  test("Excel-compatible CSV export: UTF-8 BOM, CRLF, quoted fields (S6)") {
+    import spark.implicits._
+    val df = Seq(
+      ("a, with comma", "quote \" inside", "中文值"),
+      ("plain", null.asInstanceOf[String], "x")
+    ).toDF("c1", "c2", "c3")
+    val out = Files.createTempDirectory("graft-xlsx").resolve("export.csv").toString
+    RecordsSink.writeExcelCompatibleCsv(df, out)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(out))
+    assert(bytes(0) == 0xEF.toByte && bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte,
+      "must start with the UTF-8 BOM (reference writes utf-8-sig)")
+    val text = new String(bytes, "UTF-8").stripPrefix("\ufeff")
+    val lines = text.split("\r\n", -1)
+    assert(lines(0) == "\"c1\",\"c2\",\"c3\"")
+    assert(lines(1) == "\"a, with comma\",\"quote \"\" inside\",\"中文值\"")
+    assert(lines(2) == "\"plain\",\"\",\"x\"")
+    assert(lines.length == 4 && lines(3).isEmpty, "one CRLF per row, file ends with CRLF")
+  }
 }
