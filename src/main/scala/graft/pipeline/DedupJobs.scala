@@ -60,10 +60,18 @@ object DedupJobs {
       .filter(col("n") > bucketCap)
 
   /** Candidate pairs (doc_a < doc_b, distinct) from the banded self-join,
-    * with over-cap buckets excluded. */
+    * with over-cap buckets excluded.
+    *
+    * The band-row table (bands rows per doc — tiny next to the corpus) is
+    * persisted: it feeds the bucket-size aggregate, both sides of the
+    * self-join, and the cap filter, and each DataFrame reuse would
+    * otherwise re-run the full signature scan over the corpus (the md5
+    * passes dominate; measured 5-10 re-evaluations without the persist).
+    * At cluster scale this is the table you'd write out / checkpoint. */
   def candidatePairs(docs: DataFrame, numHashes: Int, bands: Int,
                      bucketCap: Int): DataFrame = {
     val rows = bandRows(docs, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = rows.groupBy(col("bi"), col("bh")).agg(count(lit(1)).as("n"))
     val kept = rows.join(sizes.filter(col("n") <= bucketCap), Seq("bi", "bh"))
       .select(col("bi"), col("bh"), col("doc_id"))
@@ -80,8 +88,17 @@ object DedupJobs {
   def minhashVerified(docs: DataFrame, numHashes: Int = 8, bands: Int = 4,
                       bucketCap: Int = 200,
                       jaccardThreshold: Double = 0.5): DataFrame = {
+    // Candidates are consumed twice (doc-id prune + the verify join); the
+    // pair table is tiny relative to the corpus, so persist it rather than
+    // recompute the banded-join lineage (at cluster scale: checkpoint it).
     val cand = candidatePairs(docs, numHashes, bands, bucketCap)
-    val tokSets = docs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Explode token sets ONLY for docs that appear in a candidate pair —
+    // the semi-join prunes the verify stage's token volume from
+    // corpus-bounded to candidate-bounded before any token leaves a row.
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val tokSets = docs.join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
     val sizes = tokSets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
