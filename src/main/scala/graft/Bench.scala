@@ -47,8 +47,20 @@ object Bench {
     val headline = Seq(
       "q_pricing_summary", "q_revenue_by_segment", "q_top_orders_per_cust",
       "q_similar_docs", "q_events_hourly", "q_dedup_exact", "q_dedup_minhash",
-      "q_dedup_minhash_verified", "q_dedup_simhash", "q_ann_cosine",
-      "q_ann_lsh_topk", "q_fingerprint", "q_quality_score")
+      "q_dedup_minhash_verified", "q_dedup_ngram_capped", "q_dedup_embedding",
+      "q_dedup_simhash", "q_ann_cosine", "q_ann_lsh_topk", "q_fingerprint",
+      "q_quality_score")
+
+    // JIT/codegen warm pass at the smallest SF (same plan shapes → same
+    // generated classes) so the timed runs measure steady state, not
+    // first-compilation of each query's codegen output.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).exists() && warmDir != sfDir) {
+      headline.foreach { name =>
+        try noop(SparkEntry.queries(name)(spark, warmDir))
+        catch { case _: Throwable => }
+      }
+    }
 
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)

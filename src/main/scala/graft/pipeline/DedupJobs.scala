@@ -98,8 +98,12 @@ object DedupJobs {
     // corpus-bounded to candidate-bounded before any token leaves a row.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // tokSets feeds the size aggregate and both verify-join sides; persist
+    // the (candidate-bounded, tiny) token rows instead of re-scanning and
+    // re-tokenizing the corpus per consumer.
     val tokSets = docs.join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = tokSets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
     val inter = cand
@@ -133,12 +137,19 @@ object DedupJobs {
     val shingles = array_distinct(transform(
       sequence(lit(1), greatest(length(col("nt")) - (n - 1), lit(1))),
       i => col("nt").substr(i, lit(n))))
+    // tri feeds the document-frequency aggregate and the cap join; kept
+    // feeds the size aggregate and both pair-join sides. Persist both (the
+    // distinct-shingle rows are corpus-vocabulary-bounded, far smaller than
+    // the text) so the shingle explode over the corpus runs exactly once.
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val tri = docs
       .withColumn("nt", nt)
       .select(col("doc_id"), col("lang"), explode(shingles).as("g"))
+      .persist(mem)
     val dfreq = tri.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("df"))
     val kept = tri.join(dfreq.filter(col("df") <= dfCap), Seq("lang", "g"))
       .select(col("doc_id"), col("lang"), col("g"))
+      .persist(mem)
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = kept.select(col("doc_id").as("doc_a"), col("lang"), col("g"))
       .join(kept.select(col("doc_id").as("doc_b"), col("lang"), col("g")), Seq("lang", "g"))
