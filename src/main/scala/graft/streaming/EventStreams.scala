@@ -72,6 +72,36 @@ object EventStreams {
         })
   }
 
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming exact dedup — the streaming analogue of q_dedup_exact:
+    * documents land continuously, the first document with a given
+    * normalized-text fingerprint passes, later duplicates arriving within
+    * the watermark horizon are dropped, and — the part that matters at an
+    * unbounded corpus — `dropDuplicatesWithinWatermark` EVICTS fingerprint
+    * state older than the horizon, so state is bounded by ingest rate ×
+    * horizon instead of growing with corpus size (plain streaming
+    * `dropDuplicates` would retain every key forever). Event time is
+    * derived deterministically from doc_id (the synthetic table carries no
+    * ingest timestamp). */
+  def streamingExactDedup(spark: SparkSession, docsPath: String,
+                          watermark: String = "1 hour"): DataFrame = {
+    spark.readStream
+      .schema(docSchema)
+      .parquet(docsPath)
+      .withColumn("fp", md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+      .withColumn("ingest_ts",
+        timestamp_seconds(lit(1767225600L) + pmod(col("doc_id"), lit(100L))))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("doc_id"), col("fp"), col("ingest_ts"))
+  }
+
   def startToMemory(df: DataFrame, name: String): StreamingQuery =
     df.writeStream
       .format("memory")

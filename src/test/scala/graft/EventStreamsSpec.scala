@@ -61,4 +61,27 @@ class EventStreamsSpec extends AnyFunSuite {
     // the 1-hour gap rule must actually close some sessions on this data
     assert(sessions.filter(col("closed")).count() > 0)
   }
+
+  test("streaming exact dedup keeps one doc per fingerprint with bounded state") {
+    // stage the docs table plus an exact-duplicate shard (the q_dedup_exact
+    // scaffolding shape: every 5th doc re-lands under a shifted id)
+    val dir = java.nio.file.Files.createTempDirectory("docs-dedup-src")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("append").parquet(dir.toString)
+    docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .write.mode("append").parquet(dir.toString)
+
+    val q = graft.streaming.EventStreams.startToMemory(
+      graft.streaming.EventStreams.streamingExactDedup(spark, dir.toString), "dedup_docs")
+    q.awaitTermination()
+    val out = spark.table("dedup_docs")
+
+    val distinctFp = spark.read.parquet(dir.toString)
+      .select(md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+      .distinct().count()
+    assert(out.count() == distinctFp,
+      s"stream must emit exactly one row per fingerprint (${out.count()} vs $distinctFp)")
+    assert(out.select("fp").distinct().count() == distinctFp)
+  }
 }
