@@ -76,6 +76,15 @@ object SparkEntry {
         sum(when(trim(coalesce(col("source"), lit(""))) =!= "", 1).otherwise(0)).as("source_complete"))
     }),
 
+    // A4's long form routed through ReportJob.fieldCompleteness so the
+    // stack/percentage path gets a driver oracle (q_doc_completeness covers
+    // the wide counts; the golden report covers it on real records).
+    "q_completeness_long" -> ((s, dir) =>
+      ReportJob.fieldCompleteness(
+        t(s, dir, "documents").select(col("text"), col("lang"), col("source")),
+        Seq("text", "lang", "source"))
+        .orderBy(col("field"))),
+
     // A2/A3 routed through the ReportJob aggregations over records-shaped
     // projections of the documents table, so the report code paths get
     // driver-oracle rows (the golden report covers them on real records).
@@ -553,6 +562,24 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN trim(coalesce(lang, '')) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS lang_complete,
         |  CAST(sum(CASE WHEN trim(coalesce(source, '')) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS source_complete
         |FROM documents""".stripMargin,
+
+    // complete/missing/percentage per field, src/processor.py:229-240
+    "q_completeness_long" ->
+      """WITH wide AS (
+        |  SELECT count(*) AS total,
+        |    CAST(sum(CASE WHEN trim(coalesce(text, '')) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS text,
+        |    CAST(sum(CASE WHEN trim(coalesce(lang, '')) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS lang,
+        |    CAST(sum(CASE WHEN trim(coalesce(source, '')) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS source
+        |  FROM documents),
+        |long AS (
+        |  SELECT 'text' AS field, text AS complete, total FROM wide
+        |  UNION ALL SELECT 'lang', lang, total FROM wide
+        |  UNION ALL SELECT 'source', source, total FROM wide)
+        |SELECT field, complete, total - complete AS missing,
+        |       CASE WHEN total > 0
+        |            THEN CAST(complete AS DOUBLE) / total * 100.0
+        |            ELSE 0.0 END AS percentage
+        |FROM long ORDER BY field""".stripMargin,
 
     // 50-char truncation + blank/'unknown' exclusion per src/processor.py:207-211
     "q_court_dist" ->
