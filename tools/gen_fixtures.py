@@ -520,6 +520,31 @@ def mixed_currency_judgment(rng, idx):
     return doc_id, pages
 
 
+def amounts_scaled(rng, idx):
+    """Scaled and decimal amount forms: 'HK$1.5 million', 'USD 2 billion',
+    decimal cents — the unit-scaling branches of _parse_amount_match and the
+    f'{v:,.0f}' rounding, end-to-end through window scoring."""
+    base_id, pages = hca_between(rng, idx)
+    doc_id = base_id.replace("HCA", "HCAS")
+    variant = rng.randint(0, 2)
+    claim_line = [
+        f"The plaintiff claims the sum of HK${rng.randint(1, 9)}.{rng.randint(1, 9)} million "
+        "as damages for breach of the supply agreement.",
+        f"The plaintiff seeks recovery of USD {rng.randint(2, 8)} million together with interest.",
+        f"The outstanding balance of HK${rng.randrange(100_000, 900_000)}.{rng.randint(10, 99)} "
+        "remains due and owing under the invoices.",
+    ][variant]
+    pages.insert(2, claim_line)
+    order_line = [
+        f"The defendant shall pay the plaintiff HK${rng.randint(1, 4)}.{rng.randint(1, 9)} million "
+        "plus interest at the judgment rate.",
+        f"Judgment is entered for the plaintiff in the sum of USD {rng.randint(1, 3)} million.",
+        f"Costs summarily assessed at HK${rng.randrange(50_000, 400_000)}.{rng.randint(10, 99)}.",
+    ][variant]
+    pages.insert(len(pages) - 1, order_line)
+    return doc_id, pages
+
+
 ARCHETYPES = [
     ("hca_between", lambda r, i: hca_between(r, i), 10),
     ("hca_split_year", lambda r, i: hca_between(r, i, split_year=True), 4),
@@ -542,6 +567,7 @@ ARCHETYPES = [
     ("many_defendants", many_defendants, 4),
     ("and_in_defendant", and_in_defendant, 4),
     ("mixed_currency_judgment", mixed_currency_judgment, 4),
+    ("amounts_scaled", amounts_scaled, 6),
 ]
 
 
