@@ -18,13 +18,68 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import gen_fixtures as gf  # noqa: E402
 
+def perturb(rng, pages):
+    """Whitespace/structure mutations the committed grammar never produces:
+    trailing spaces, doubled inner spaces, injected blank lines. Applied to
+    the input BEFORE both extractors run, so divergence = kernel bug."""
+    out = []
+    for p in pages:
+        nl = []
+        for l in p.split("\n"):
+            if rng.random() < 0.10:
+                l = l + " " * rng.randint(1, 3)
+            if rng.random() < 0.05:
+                l = l.replace(" ", "  ", 1)
+            nl.append(l)
+            if rng.random() < 0.03:
+                nl.append("")
+        out.append("\n".join(nl))
+    return out
+
+
+KEYWORD_FLIPS = [
+    ("BETWEEN", "Between"), ("Before:", "BEFORE:"), ("ORDER", "Order"),
+    ("JUDGMENT", "Judgment"), ("Plaintiff", "PLAINTIFF"),
+    ("Defendant", "DEFENDANT"), ("Date of Hearing", "DATE OF HEARING"),
+    ("instructed by", "Instructed By"),
+]
+
+
+def mutate(rng, pages):
+    """Aggressive semantic mutations: structural-keyword case flips, curly
+    quotes, en-dashes. Stresses case-flag fidelity of the regex ports —
+    whatever the reference does with these, the kernel must do too."""
+    out = []
+    for p in pages:
+        if rng.random() < 0.5:
+            a, b = KEYWORD_FLIPS[rng.randrange(len(KEYWORD_FLIPS))]
+            p = p.replace(a, b)
+        if rng.random() < 0.3:
+            p = p.replace('"', "“").replace("'", "’")
+        if rng.random() < 0.3:
+            p = p.replace(" - ", " – ")
+        out.append(p)
+    return perturb(rng, out)
+
+
 def main():
     out = Path(sys.argv[1])
     seed = int(sys.argv[2])
     mult = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    mode = sys.argv[4] if len(sys.argv) > 4 else "plain"
     gf.OUT = out
     gf.rng = random.Random(seed)
-    gf.ARCHETYPES = [(n, f, c * mult) for (n, f, c) in gf.ARCHETYPES]
+
+    def wrap(f, m):
+        def g(rng, idx):
+            doc_id, pages = f(rng, idx)
+            return doc_id, m(rng, pages)
+        return g
+
+    mutator = {"perturb": perturb, "mutate": mutate}.get(mode)
+    gf.ARCHETYPES = [
+        (n, wrap(f, mutator) if mutator else f, c * mult)
+        for (n, f, c) in gf.ARCHETYPES]
     gf.main()
 
 if __name__ == "__main__":
