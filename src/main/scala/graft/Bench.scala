@@ -62,11 +62,24 @@ object Bench {
       }
     }
 
+    // Best of 2 reps per query: the first rep can absorb a cold parquet
+    // page cache or a stray codegen compile; the min is the steady state.
+    // The cache is cleared between reps — the dedup pipelines persist
+    // reused intermediates, and Spark's cache manager would otherwise hand
+    // rep 2 the previous rep's materialized tables (measuring a cache read,
+    // not the pipeline).
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      val t = try timeIt(noop(fn(spark, sfDir)))._2 catch { case _: Throwable => -1.0 }
+      val t = try {
+        val reps = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          timeIt(noop(fn(spark, sfDir)))._2
+        }
+        reps.min
+      } catch { case _: Throwable => -1.0 }
       name -> t
     }
+    spark.catalog.clearCache()
 
     // Extraction throughput: stage corpus once, then time scan→kernel→noop.
     val nDocs = SparkEntry.corpusSize(sfDir)
