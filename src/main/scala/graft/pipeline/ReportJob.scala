@@ -64,6 +64,15 @@ object ReportJob {
     "judge", "case_type", "lawyer", "judgment_result", "claim_amount",
     "judgment_amount", "language", "document_type")
 
+  /** Top-level summary row (`src/processor.py:242-249` minus the
+    * timestamp): total_files_processed and the reference's constant
+    * success_rate (only successfully-extracted records ever reach the
+    * report, so the reference hard-codes 100.0). */
+  def summary(records: DataFrame): DataFrame =
+    records.agg(
+      count(lit(1)).as("total_files_processed"),
+      lit(100.0).as("success_rate"))
+
   /** Full report persisted as one JSON blob (shape of the reference's
     * summary_report_*.json minus timestamps). */
   def writeReport(spark: SparkSession, records: DataFrame, outPath: String): Unit = {
@@ -71,6 +80,7 @@ object ReportJob {
     val court = courtDistribution(records)
     val caseType = caseTypeDistribution(records)
     val completeness = fieldCompleteness(records, reportFields)
+    summary(records).write.mode("overwrite").json(s"$outPath/summary")
     lang.write.mode("overwrite").json(s"$outPath/language_distribution")
     court.write.mode("overwrite").json(s"$outPath/court_distribution")
     caseType.write.mode("overwrite").json(s"$outPath/case_type_distribution")

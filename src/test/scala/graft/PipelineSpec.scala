@@ -129,6 +129,20 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("summary row matches the golden total (total_files_processed, success_rate)") {
+    import spark.implicits._
+    val docs = DocsSource.fixtureJson(spark, "src/test/resources/fixtures/docs/*/*.json")
+    val records = docs.mapPartitions(_.flatMap(graft.extract.ExtractAll.extractRecord)).toDF()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val golden = mapper.readValue(
+      Files.readString(java.nio.file.Paths.get("src/test/resources/fixtures/golden/report.json")),
+      classOf[java.util.Map[String, Object]])
+    val row = ReportJob.summary(records).collect()(0)
+    assert(row.getLong(0) ==
+      golden.get("total_files_processed").asInstanceOf[Number].longValue())
+    assert(row.getDouble(1) == 100.0)
+  }
+
   test("merge keeps first-set priority on file_name (J3)") {
     import spark.implicits._
     val a = Seq(("f1.pdf", "A1"), ("f2.pdf", "A2")).toDF("file_name", "payload")
