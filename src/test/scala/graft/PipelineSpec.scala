@@ -152,6 +152,18 @@ class PipelineSpec extends AnyFunSuite {
       Seq(("f1.pdf", "A1"), ("f2.pdf", "A2"), ("f3.pdf", "B3")))
   }
 
+  test("merge collapses duplicates WITHIN the second set (merge_json_files.py seen-set)") {
+    import spark.implicits._
+    val a = Seq((1L, "f1.pdf", "A1")).toDF("doc_id", "file_name", "payload")
+    val b = Seq((10L, "f2.pdf", "B2-first"), (11L, "f2.pdf", "B2-second"),
+      (12L, "f3.pdf", "B3")).toDF("doc_id", "file_name", "payload")
+    val merged = MergeJob.mergeCanonical(a, b).collect()
+      .map(r => (r.getAs[String]("file_name"), r.getAs[String]("payload"))).toSeq
+    assert(merged == Seq(("f1.pdf", "A1"), ("f2.pdf", "B2-first"), ("f3.pdf", "B3")))
+    val (n1, n2, added, dups) = MergeJob.mergeStats(a, b)
+    assert((n1, n2, added, dups) == (1L, 3L, 2L, 1L))
+  }
+
   test("parseMultipleParties mirrors reference semantics") {
     assert(KgJob.parseMultipleParties("WONG TAI MAN") == Seq("WONG TAI MAN"))
     assert(KgJob.parseMultipleParties(
