@@ -251,6 +251,73 @@ object KgJob {
       .unionByName(worksFor)
   }
 
+  /** `query_nodes` (`graph_database.py:139-168`): optional label filter +
+    * property-equality filters + limit, over the nodes relation. */
+  def queryNodes(nodes: DataFrame, label: Option[String] = None,
+                 properties: Map[String, String] = Map.empty,
+                 limit: Int = 100): DataFrame = {
+    val byLabel = label.fold(nodes)(l => nodes.filter(col("type") === l))
+    val byProps = properties.foldLeft(byLabel) { case (df, (k, v)) =>
+      df.filter(element_at(col("props"), k) === v)
+    }
+    byProps.limit(limit)
+  }
+
+  /** `query_relationships` (`graph_database.py:170-202`): optional
+    * relationship-type filter + limit. */
+  def queryRelationships(edges: DataFrame, relType: Option[String] = None,
+                         limit: Int = 100): DataFrame =
+    relType.fold(edges)(t => edges.filter(col("rel_type") === t)).limit(limit)
+
+  /** Visualizer subgraph (`visualizer.py:178-283`): select nodes — by type,
+    * or by Case-property conditions (case_type / judgment_result equality,
+    * any-prop-contains search) — with the display columns (label truncated
+    * `[:17] + "..."` past 20 chars, class-based size), then the edges whose
+    * BOTH endpoints were selected, capped at 2×limit.
+    *
+    * Documented deviation: the reference's Cypher puts the property WHERE
+    * on an `OPTIONAL MATCH (c:Case)` after `MATCH (n)`, which makes the
+    * filter vacuous (every n survives with c = null); this implements the
+    * evident intent — the conditions select Case nodes. */
+  def subgraph(nodes: DataFrame, edges: DataFrame,
+               nodeType: Option[String] = None,
+               caseType: Option[String] = None,
+               judgmentResult: Option[String] = None,
+               searchTerm: Option[String] = None,
+               limit: Int = 200): (DataFrame, DataFrame) = {
+    val base = nodeType match {
+      case Some(t) => nodes.filter(col("type") === t)
+      case None =>
+        val conds = Seq(
+          caseType.map(v => element_at(col("props"), "case_type") === v),
+          judgmentResult.map(v => element_at(col("props"), "judgment_result") === v),
+          searchTerm.map { s =>
+            col("name").contains(s) ||
+              exists(map_values(col("props")), _.contains(s))
+          }).flatten
+        if (conds.isEmpty) nodes
+        else nodes.filter(col("type") =!= "Case" || conds.reduce(_ && _))
+    }
+    val size = when(col("type") === "Case", 50)
+      .when(col("type").isin("Judge", "Court"), 40)
+      .when(col("type").isin("Lawyer", "LawFirm"), 35)
+      .otherwise(30)
+    val display = when(length(col("name")) > 20,
+      concat(substring(col("name"), 1, 17), lit("..."))).otherwise(col("name"))
+    val selected = base.limit(limit)
+      .withColumn("display_label", display)
+      .withColumn("size", size)
+
+    val sel = selected.select(col("type"), col("name")).distinct()
+    val subEdges = edges
+      .join(sel.withColumnRenamed("type", "src_type")
+        .withColumnRenamed("name", "src_name"), Seq("src_type", "src_name"), "left_semi")
+      .join(sel.withColumnRenamed("type", "dst_type")
+        .withColumnRenamed("name", "dst_name"), Seq("dst_type", "dst_name"), "left_semi")
+      .limit(limit * 2)
+    (selected, subEdges)
+  }
+
   /** A7 — node/relationship statistics
     * (`knowledge_graph/graph_database.py:204-238`). */
   def nodeStatistics(nodes: DataFrame): DataFrame =

@@ -242,6 +242,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(caseNames.contains("f3.pdf"))
   }
 
+  test("KG query surfaces: queryNodes / queryRelationships / subgraph") {
+    import spark.implicits._
+    val records = Seq(
+      ("ACTION NO 12345 OF 2020", "HIGH COURT", "Chan", "P1", "D1",
+        "Mr John Tse, instructed by Wong & Co, for the plaintiff",
+        "Civil Action", "Win", "f1.pdf"),
+      ("ACTION NO 2 OF 2021", "DISTRICT COURT", "Lee", "P2", "D2", "",
+        "Appeal", "Lose", "f2.pdf")
+    ).toDF("case_number", "court_name", "judge", "plaintiff", "defendant",
+      "lawyer", "case_type", "judgment_result", "file_name")
+    val nodes = KgJob.nodes(records)
+    val edges = KgJob.edges(records)
+
+    assert(KgJob.queryNodes(nodes, Some("Judge")).count() == 2)
+    assert(KgJob.queryNodes(nodes, Some("Case"),
+      Map("case_type" -> "Appeal")).count() == 1)
+    assert(KgJob.queryRelationships(edges, Some("SUES")).count() == 2)
+    assert(KgJob.queryRelationships(edges, limit = 3).count() == 3)
+
+    val (sn, se) = KgJob.subgraph(nodes, edges, caseType = Some("Civil Action"))
+    val caseNames = sn.filter(col("type") === "Case")
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(caseNames == Seq("ACTION NO 12345 OF 2020"), s"got $caseNames")
+    // every surviving edge has both endpoints in the selected node set
+    val selSet = sn.select("type", "name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    se.collect().foreach { e =>
+      assert(selSet.contains((e.getAs[String]("src_type"), e.getAs[String]("src_name"))))
+      assert(selSet.contains((e.getAs[String]("dst_type"), e.getAs[String]("dst_name"))))
+    }
+    // display columns follow the visualizer's truncation (only past 20
+    // chars: [:17] + "...") and class sizing
+    val caseRow = sn.filter(col("type") === "Case").collect()(0)
+    assert(caseRow.getAs[String]("display_label") == "ACTION NO 12345 O...")
+    assert(caseRow.getAs[Int]("size") == 50)
+    val judgeRow = sn.filter(col("type") === "Judge").collect()(0)
+    assert(judgeRow.getAs[String]("display_label") == judgeRow.getAs[String]("name"))
+    assert(judgeRow.getAs[Int]("size") == 40)
+  }
+
   test("similar cases: theta self-join + per-case top-10 (J2)") {
     import spark.implicits._
     val cases = Seq(
