@@ -70,16 +70,25 @@ def main():
     gf.OUT = out
     gf.rng = random.Random(seed)
 
+    # Collision guard: archetypes share id formats (e.g. hca_between and
+    # hca_split_year both mint HCA%06d_%Y), and the flat golden dirs would
+    # silently pair a doc with the OTHER doc's golden at high multipliers.
+    # Re-roll until the id is fresh (sweep-only; the committed fixture
+    # counts are collision-free by construction).
+    seen = set()
+
     def wrap(f, m):
         def g(rng, idx):
             doc_id, pages = f(rng, idx)
-            return doc_id, m(rng, pages)
+            while doc_id in seen:
+                doc_id, pages = f(rng, idx)
+            seen.add(doc_id)
+            return doc_id, (m(rng, pages) if m else pages)
         return g
 
     mutator = {"perturb": perturb, "mutate": mutate}.get(mode)
     gf.ARCHETYPES = [
-        (n, wrap(f, mutator) if mutator else f, c * mult)
-        for (n, f, c) in gf.ARCHETYPES]
+        (n, wrap(f, mutator), c * mult) for (n, f, c) in gf.ARCHETYPES]
     gf.main()
 
 if __name__ == "__main__":
