@@ -193,17 +193,19 @@ object SparkEntry {
 
     // Dedup family ---------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
-      views(s, dir)
-      s.sql("""
-        WITH all_docs AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)
-        SELECT md5(lower(regexp_replace(text, '\\s+', ' '))) AS fp,
-               count(*) AS dup_count, min(doc_id) AS keep_id
-        FROM all_docs
-        GROUP BY 1 HAVING count(*) > 1
-        ORDER BY fp""")
+      // The duplicated shard (every 5th doc re-landing under a shifted id —
+      // test scaffolding for the dedup) is fanned out IN-ROW from one scan
+      // instead of the former UNION ALL double-scan of the table.
+      val d = t(s, dir, "documents")
+      val ids = filter(
+        array(col("doc_id"),
+          when(col("doc_id") % 5 === 0, col("doc_id") + 1000000L)),
+        x => x.isNotNull)
+      d.select(explode(ids).as("doc_id"), col("text"))
+        .groupBy(md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+        .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("keep_id"))
+        .filter(col("dup_count") > 1)
+        .orderBy(col("fp"))
     }),
 
     "q_dedup_minhash" -> ((s, dir) => {
