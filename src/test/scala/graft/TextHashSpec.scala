@@ -65,6 +65,55 @@ class TextHashSpec extends AnyFunSuite {
     }
   }
 
+  test("property: all three expressions equal their builtin forms on random unicode") {
+    import spark.implicits._
+    // seeded generator over an alphabet that stresses every byte width:
+    // ASCII, 2-byte (é/ß), 3-byte CJK, 4-byte emoji (surrogate pair in
+    // UTF-16, one code point for the byte slide), combining mark, newline
+    val alphabet: IndexedSeq[String] = (
+      ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString) ++
+      Seq(" ", " ", " ", ".", ",", "\n", "\t", "é", "ß", "中", "文", "法",
+        "院", "́", new String(Character.toChars(0x1F600)))
+    )
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 80L).map { i =>
+      val len = rnd.nextInt(200)
+      (i, (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString)
+    }
+    val df = rows.toDF("doc_id", "text")
+
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val nt = lower(regexp_replace(col("text"), "\\s+", " "))
+    val n = size(col("toks"))
+    val refSimhash = (0 until 16).map { b =>
+      val pos = size(filter(col("toks"),
+        tk => md5(concat(lit(s"$b#"), tk)).substr(lit(1), lit(1)) >= lit("8")))
+      when(pos * 2 >= n, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val refHashes = transform(
+      sequence(lit(1), greatest(length(col("nt")) - 7, lit(1))),
+      i => md5(col("nt").substr(i, lit(8))))
+
+    val checked = df
+      .withColumn("toks", toks).withColumn("nt", nt)
+      .withColumn("mm", TextHashExprs.shingle_minmax(col("nt"), lit(8)))
+      .withColumn("sig", TextHashExprs.minhash_sig(col("toks"), lit(3)))
+      .select(col("doc_id"),
+        (size(col("toks")) === 0 ||
+          TextHashExprs.simhash16(col("toks")) === refSimhash).as("sim_ok"),
+        (col("mm.mn") <=> array_min(refHashes) &&
+          col("mm.mx") <=> array_max(refHashes)).as("sh_ok"),
+        (size(col("toks")) === 0 ||
+          (element_at(col("sig"), 1) <=> array_min(transform(col("toks"),
+            tk => md5(concat(lit("0#"), tk)))))).as("mh_ok"))
+      .collect()
+    checked.foreach { r =>
+      assert(r.getBoolean(1), s"simhash mismatch doc ${r.getLong(0)}")
+      assert(r.getBoolean(2), s"shingle mismatch doc ${r.getLong(0)}")
+      assert(r.getBoolean(3), s"minhash mismatch doc ${r.getLong(0)}")
+    }
+  }
+
   test("shingle_minmax equals the substring/md5 fold, including non-ASCII") {
     val nt = lower(regexp_replace(col("text"), "\\s+", " "))
     val hashes = transform(
