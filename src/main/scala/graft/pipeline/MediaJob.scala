@@ -77,6 +77,60 @@ object MediaJob {
       }
   }
 
+  final case class ResizedMedia(
+      media_ref: String, doc_id: String, media_type: String,
+      src_w: Int, src_h: Int, out_w: Int, out_h: Int, thumb: Array[Float])
+
+  /** ============================ STUB ================================
+    * Deterministic fake resize: real code would decode and resample pixels;
+    * the fake computes the aspect-preserving output geometry (the part that
+    * IS real logic) and folds the 16-dim feature down to a 4-dim "thumb" by
+    * mean-pooling — stable, testable, swap-in point for a real scaler.
+    * ================================================================== */
+  def resizeStub(feature: Array[Float]): Array[Float] =
+    Array.tabulate(4)(k => (feature(4 * k) + feature(4 * k + 1) +
+      feature(4 * k + 2) + feature(4 * k + 3)) / 4.0f)
+
+  /** Aspect-preserving fit into a target box (never upscales) — this
+    * geometry is real; only the pixel work is stubbed. */
+  def fitWithin(srcW: Int, srcH: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    val scale = math.min(1.0, math.min(maxW.toDouble / srcW, maxH.toDouble / srcH))
+    (math.max(1, math.round(srcW * scale).toInt),
+      math.max(1, math.round(srcH * scale).toInt))
+  }
+
+  /** Distributed resize over image features: per-row geometry + stub
+    * resample, no shuffle (pure map over the feature table). */
+  def resizeImages(spark: SparkSession, features: Dataset[MediaFeature],
+                   maxW: Int = 256, maxH: Int = 256): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    features.filter(_.media_type == "image").map { f =>
+      val (w, h) = fitWithin(f.dim1, f.dim2, maxW, maxH)
+      ResizedMedia(f.media_ref, f.doc_id, f.media_type,
+        f.dim1, f.dim2, w, h, resizeStub(f.feature))
+    }
+  }
+
+  final case class SampledFrame(
+      media_ref: String, doc_id: String, frame_idx: Int, frame_feature: Array[Float])
+
+  /** Frame sampling over video media: every `everyNth` frame of the decoded
+    * frame count becomes one row. The frame fan-out is a per-row sequence
+    * explode (frames never shuffle as pixels — only the per-frame feature
+    * rows flow on); frame decode itself is the same stub seam. */
+  def sampleFrames(spark: SparkSession, features: Dataset[MediaFeature],
+                   everyNth: Int = 6): Dataset[SampledFrame] = {
+    import spark.implicits._
+    features.filter(_.media_type == "video").flatMap { f =>
+      (0 until f.dim3 by everyNth).map { idx =>
+        // STUB frame feature: the media feature rotated by the frame index
+        val rot = Array.tabulate(f.feature.length)(k =>
+          f.feature((k + idx) % f.feature.length))
+        SampledFrame(f.media_ref, f.doc_id, idx, rot)
+      }
+    }
+  }
+
   /** Join media features back to the docs that reference them — broadcast
     * when the feature side is small, else a plain equi-join on doc_id. */
   def joinFeaturesToDocs(docs: DataFrame, features: Dataset[MediaFeature]): DataFrame = {

@@ -68,4 +68,44 @@ class StreamingMediaSpec extends AnyFunSuite {
     assert(joined.count() == nMedia)
     assert(joined.filter(col("feature").isNull).count() == 0)
   }
+
+  test("media resize: aspect-preserving geometry, never upscales, 4-dim thumb") {
+    import spark.implicits._
+    val docs = graft.pipeline.CorpusGen.generate(spark, 300, 4).toDF()
+    val media = graft.pipeline.MediaJob.synthesizeFromDocs(spark, docs)
+    val features = graft.pipeline.MediaJob.extractFeatures(spark, media)
+    val resized = graft.pipeline.MediaJob.resizeImages(spark, features, 256, 256).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      assert(r.out_w <= 256 && r.out_h <= 256)
+      assert(r.out_w <= r.src_w && r.out_h <= r.src_h, "never upscale")
+      // aspect preserved within rounding
+      val srcAspect = r.src_w.toDouble / r.src_h
+      val outAspect = r.out_w.toDouble / r.out_h
+      assert(math.abs(srcAspect - outAspect) / srcAspect < 0.05,
+        s"aspect drift: $srcAspect vs $outAspect")
+      assert(r.thumb.length == 4)
+    }
+    // exact-fit geometry checks on the pure function
+    assert(graft.pipeline.MediaJob.fitWithin(1024, 512, 256, 256) == (256, 128))
+    assert(graft.pipeline.MediaJob.fitWithin(100, 100, 256, 256) == (100, 100))
+    assert(graft.pipeline.MediaJob.fitWithin(512, 1024, 256, 256) == (128, 256))
+  }
+
+  test("video frame sampling: every-Nth fan-out bounded by the frame count") {
+    import spark.implicits._
+    val docs = graft.pipeline.CorpusGen.generate(spark, 300, 4).toDF()
+    val media = graft.pipeline.MediaJob.synthesizeFromDocs(spark, docs)
+    val features = graft.pipeline.MediaJob.extractFeatures(spark, media)
+    val videos = features.filter(_.media_type == "video").collect()
+    assume(videos.nonEmpty)
+    val frames = graft.pipeline.MediaJob.sampleFrames(spark, features, everyNth = 6)
+      .collect().groupBy(_.media_ref)
+    videos.foreach { v =>
+      val expect = (0 until v.dim3 by 6).toSeq
+      val got = frames(v.media_ref).map(_.frame_idx).toSeq.sorted
+      assert(got == expect, s"${v.media_ref}: $got vs $expect")
+      frames(v.media_ref).foreach(f => assert(f.frame_feature.length == 16))
+    }
+  }
 }
