@@ -172,10 +172,17 @@ object SparkEntry {
         explode(array(floor(col("a_n") / 100) - 1, floor(col("a_n") / 100),
           floor(col("a_n") / 100) + 1)))
       val bBanded = b.withColumn("b_band", floor(col("b_n") / 100))
+      // Null-safe disjointness: branch (1) keeps pairs whose lang equality
+      // is TRUE; branch (2) must keep the complement — unequal OR either
+      // lang null (a null lang scores 0 on the lang term but can still
+      // reach 0.5 via source + band, so a plain =!= would silently drop
+      // such pairs; current corpora have no null langs, this guards the
+      // documented theta-join semantics regardless).
       val candRange = aBanded.join(bBanded,
           col("a_source") === col("b_source") && col("a_band") === col("b_band") &&
           col("a_id") =!= col("b_id"))
-        .filter(col("a_lang") =!= col("b_lang") && abs(col("a_n") - col("b_n")) < 100)
+        .filter(coalesce(col("a_lang") =!= col("b_lang"), lit(true)) &&
+          abs(col("a_n") - col("b_n")) < 100)
         .drop("a_band", "b_band")
 
       val sim = when(col("a_lang") === col("b_lang"), 0.5).otherwise(0.0) +
@@ -244,10 +251,12 @@ object SparkEntry {
       // Per-doc simhash computed entirely in-row in one compiled pass
       // (graft.plans.SimHash16Expr): each token votes ±1 on each of the 16
       // bits by the top bit of its seeded md5 — sum(c) >= 0 ⟺ 2·pos >= n.
-      // The former tokens×bits CROSS JOIN shuffled the token stream 16×;
-      // this plan has no shuffle at all besides the output sort.
+      // The former tokens×bits CROSS JOIN shuffled the token stream 16×.
+      // ScanParallelism.ensure fans the heavy projection out across cores
+      // when the table arrives as a single input split (the round-2 local
+      // regression); at real scale it is a no-op.
       graft.plans.TextHashExprs.register(s)
-      val d = t(s, dir, "documents")
+      val d = graft.pipeline.ScanParallelism.ensure(t(s, dir, "documents"))
       val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
       d.withColumn("toks", toks)
         .filter(size(col("toks")) > 0) // zero-token docs fell out of the GROUP BY
@@ -257,6 +266,9 @@ object SparkEntry {
     }),
 
     "q_dedup_ngram" -> ((s, dir) => {
+      // DEMO-SCALE ONLY: uncapped shingle self-join behind a doc_a filter —
+      // never benchmark or run this form at corpus scale; the scale path is
+      // q_dedup_ngram_capped (DF-capped join key, full corpus).
       views(s, dir)
       s.sql("""
         WITH norm AS (
@@ -428,9 +440,10 @@ object SparkEntry {
       // Per-doc rolling-shingle fingerprint in ONE compiled in-row pass
       // (graft.plans.ShingleMinMaxExpr): the former plan exploded every
       // character position into a row and shuffled ~8× the corpus bytes
-      // back through a groupBy. No explode, no shuffle, identical output.
+      // back through a groupBy. No explode, identical output; the only
+      // shuffles are the output sort and the single-split parallelism guard.
       graft.plans.TextHashExprs.register(s)
-      val d = t(s, dir, "documents")
+      val d = graft.pipeline.ScanParallelism.ensure(t(s, dir, "documents"))
       val nt = lower(regexp_replace(col("text"), "\\s+", " "))
       d.withColumn("nt", nt)
         .withColumn("mm", graft.plans.TextHashExprs.shingle_minmax(col("nt"), lit(8)))

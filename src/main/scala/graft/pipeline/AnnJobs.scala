@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -20,79 +20,99 @@ import org.apache.spark.sql.functions._
   * Recall/latency trade is controlled by (nlist, nprobe). Deterministic for
   * a fixed seed and input, but centroid training is not expressible in
   * DuckDB — covered by the rows-only check plus the recall test in
-  * AnnSpec (IVF top-k must overlap brute-force top-k). */
+  * AnnSpec (IVF top-k must overlap brute-force top-k).
+  *
+  * Everything on the assignment/probe/rank path is built from codegen'd
+  * builtins (`zip_with`/`aggregate`/`array_sort` over literal centroid
+  * arrays) — no Scala UDF anywhere in the hot path, so the scan, the cell
+  * join and the cosine ranking all stay inside whole-stage codegen. The only
+  * UDF left wraps vectors for the BOUNDED KMeans training sample (ML's
+  * VectorUDT has no expression constructor), which is off the hot path by
+  * construction. */
 object AnnJobs {
 
-  /** Cosine IVF = L2 IVF on the unit sphere: normalize before training and
-    * assignment, else Euclidean cells don't respect cosine neighborhoods. */
-  private val toUnitVec = udf((a: Seq[Float]) => {
-    val v = a.map(_.toDouble).toArray
-    val n = math.sqrt(v.map(x => x * x).sum)
-    Vectors.dense(if (n == 0) v else v.map(_ / n))
-  })
+  /** Exact dot product of two float-array columns as doubles. */
+  private def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
 
-  private val cosineSim = udf((a: Seq[Float], b: Seq[Float]) => {
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < a.length) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    math.rint(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000) / 10000
-  })
+  /** Cosine similarity rounded to 4dp — same rounding as the oracle-checked
+    * q_ann_cosine, so brute force and IVF rank identically. */
+  private def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 4)
 
-  /** Assign every embedding to its coarse cell. Returns (assigned, model).
+  /** The `nprobe` nearest centroids of `emb` (unit-normalized — cosine IVF
+    * = L2 IVF on the unit sphere), as an array of cell indices ordered by
+    * squared distance with a lowest-index tiebreak. Centroids are folded in
+    * as a LITERAL array of (index, coords) structs: the whole computation
+    * is builtins, evaluated per row inside codegen. */
+  private def nearestCells(emb: Column, centroids: Array[Array[Double]],
+                           nprobe: Int): Column = {
+    val nrm = sqrt(dot(emb, emb))
+    val unit = transform(emb, x =>
+      when(nrm === 0.0, x.cast("double")).otherwise(x.cast("double") / nrm))
+    val centLit = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("i"), array(c.map(lit(_)): _*).as("c"))
+    }: _*)
+    // struct(d, i) sorts lexicographically: distance first, index tiebreak
+    val dists = transform(centLit, s => struct(
+      aggregate(zip_with(unit, s.getField("c"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, v) => acc + v).as("d"),
+      s.getField("i").as("i")))
+    transform(slice(array_sort(dists), 1, nprobe), s => s.getField("i"))
+  }
+
+  /** Train the coarse quantizer and assign every embedding to its nearest
+    * cell. Returns (assigned, centroids).
     *
     * The quantizer trains on a bounded sample (`maxTrainRows`): centroid
     * quality needs only a representative sample, and at 100 TB a KMeans
     * `fit` over the full table would iterate the whole corpus maxIter
-    * times. Assignment still covers every row. The sample is seeded, so
-    * the trained centroids are deterministic for a fixed input. */
+    * times. Assignment still covers every row — via the builtin
+    * [[nearestCells]] argmin over the trained centroids (exact squared
+    * distance, lowest index on ties, matching ML's `findClosest` order),
+    * not `model.transform`, so the full-corpus pass carries no UDF. The
+    * sample is seeded, so centroids are deterministic for a fixed input. */
   def assign(spark: SparkSession, embeddings: DataFrame, nlist: Int,
              seed: Long = 42L, maxTrainRows: Long = 100000L)
-      : (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
-    val withVec = embeddings.withColumn("features", toUnitVec(col("embedding")))
-    val n = withVec.count()
-    val train =
-      if (n <= maxTrainRows) withVec
-      else withVec.sample(withReplacement = false,
+      : (DataFrame, Array[Array[Double]]) = {
+    // Vector wrapping only for the bounded training sample (VectorUDT needs
+    // a UDF); normalize first — Euclidean cells must respect cosine
+    // neighborhoods.
+    val toUnitVec = udf((a: Seq[Float]) => {
+      val v = a.map(_.toDouble).toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      Vectors.dense(if (n == 0) v else v.map(_ / n))
+    })
+    val n = embeddings.count()
+    val sampled =
+      if (n <= maxTrainRows) embeddings
+      else embeddings.sample(withReplacement = false,
         math.min(1.0, maxTrainRows.toDouble * 1.05 / n), seed)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(train)
-    (model.transform(withVec).withColumnRenamed("prediction", "cell"), model)
+      .fit(sampled.withColumn("features", toUnitVec(col("embedding"))))
+    val centroids = model.clusterCenters.map(_.toArray)
+    val assigned = embeddings.withColumn("cell",
+      element_at(nearestCells(col("embedding"), centroids, 1), 1))
+    (assigned, centroids)
   }
 
   /** IVF top-k: queries probe their `nprobe` nearest cells only. */
   def ivfTopK(spark: SparkSession, embeddings: DataFrame, queryIds: Column,
               k: Int = 5, nlist: Int = 8, nprobe: Int = 2,
               maxTrainRows: Long = 100000L): DataFrame = {
-    val (assigned, model) = assign(spark, embeddings, nlist, maxTrainRows = maxTrainRows)
-    val centroids = model.clusterCenters
-
-    val nearestCells = udf((a: Seq[Float]) => {
-      val raw = a.map(_.toDouble).toArray
-      val norm = math.sqrt(raw.map(x => x * x).sum)
-      val v = if (norm == 0) raw else raw.map(_ / norm)
-      centroids.zipWithIndex.map { case (c, i) =>
-        var d = 0.0
-        var j = 0
-        val ca = c.toArray
-        while (j < v.length) { val t = v(j) - ca(j); d += t * t; j += 1 }
-        (i, d)
-      }.sortBy(x => (x._2, x._1)).take(nprobe).map(_._1)
-    })
+    val (assigned, centroids) = assign(spark, embeddings, nlist, maxTrainRows = maxTrainRows)
 
     val queries = assigned.filter(queryIds)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        explode(nearestCells(col("embedding"))).as("cell"))
+        explode(nearestCells(col("embedding"), centroids, nprobe)).as("cell"))
     val candidates = assigned
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cell"))
 
     val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("n_id"))
     queries.join(candidates, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosineSim(col("q_emb"), col("n_emb")))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
       .dropDuplicates("q_id", "n_id") // a candidate may appear via 2 cells
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -108,7 +128,7 @@ object AnnJobs {
     val c = embeddings.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("n_id"))
     q.join(broadcast(c), col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosineSim(col("q_emb"), col("n_emb")))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("n_id"), col("sim"), col("rn"))

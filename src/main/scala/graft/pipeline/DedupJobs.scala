@@ -28,6 +28,32 @@ object DedupJobs {
   def tokens(textCol: Column): Column =
     regexp_extract_all(lower(textCol), lit("[a-z0-9]+"), lit(0))
 
+  /** Intermediates persisted by the pipelines below, so long-lived sessions
+    * can release them: persist-and-never-unpersist would otherwise
+    * accumulate cached tables across invocations (the bench previously had
+    * to clearCache() the whole session between reps). Each pipeline tracks
+    * what it persists; callers invoke [[releaseCached]] once they have
+    * materialized (written/collected) the returned DataFrame. */
+  private val cachedIntermediates =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def cache(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cachedIntermediates.add(p)
+    p
+  }
+
+  /** Unpersist every intermediate persisted by dedup pipelines since the
+    * last release. Safe to call anytime; lazily recomputed if a returned
+    * DataFrame is re-consumed afterwards. */
+  def releaseCached(blocking: Boolean = false): Unit = {
+    var df = cachedIntermediates.poll()
+    while (df != null) {
+      df.unpersist(blocking)
+      df = cachedIntermediates.poll()
+    }
+  }
+
   /** One row per (doc, band): band hash = md5 of the band's concatenated
     * row hashes. The signature (min over tokens of a seeded md5, per hash
     * function — duplicate tokens can't change a min, so no distinct needed)
@@ -38,7 +64,9 @@ object DedupJobs {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     graft.plans.TextHashExprs.register(docs.sparkSession)
     val rowsPerBand = numHashes / bands
-    val withSig = docs
+    // the signature projection is the compute-heavy stage: don't let a
+    // single-split source serialize it (no-op at real scale)
+    val withSig = ScanParallelism.ensure(docs)
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) > 0)
       .withColumn("sig",
@@ -67,11 +95,11 @@ object DedupJobs {
     * self-join, and the cap filter, and each DataFrame reuse would
     * otherwise re-run the full signature scan over the corpus (the md5
     * passes dominate; measured 5-10 re-evaluations without the persist).
-    * At cluster scale this is the table you'd write out / checkpoint. */
+    * At cluster scale this is the table you'd write out / checkpoint.
+    * Persisted intermediates are released via [[releaseCached]]. */
   def candidatePairs(docs: DataFrame, numHashes: Int, bands: Int,
                      bucketCap: Int): DataFrame = {
-    val rows = bandRows(docs, numHashes, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = cache(bandRows(docs, numHashes, bands))
     val sizes = rows.groupBy(col("bi"), col("bh")).agg(count(lit(1)).as("n"))
     val kept = rows.join(sizes.filter(col("n") <= bucketCap), Seq("bi", "bh"))
       .select(col("bi"), col("bh"), col("doc_id"))
@@ -91,8 +119,7 @@ object DedupJobs {
     // Candidates are consumed twice (doc-id prune + the verify join); the
     // pair table is tiny relative to the corpus, so persist it rather than
     // recompute the banded-join lineage (at cluster scale: checkpoint it).
-    val cand = candidatePairs(docs, numHashes, bands, bucketCap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = cache(candidatePairs(docs, numHashes, bands, bucketCap))
     // Explode token sets ONLY for docs that appear in a candidate pair —
     // the semi-join prunes the verify stage's token volume from
     // corpus-bounded to candidate-bounded before any token leaves a row.
@@ -101,9 +128,8 @@ object DedupJobs {
     // tokSets feeds the size aggregate and both verify-join sides; persist
     // the (candidate-bounded, tiny) token rows instead of re-scanning and
     // re-tokenizing the corpus per consumer.
-    val tokSets = docs.join(candDocs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tokSets = cache(docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok")))
     val sizes = tokSets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
     val inter = cand
@@ -140,16 +166,14 @@ object DedupJobs {
     // tri feeds the document-frequency aggregate and the cap join; kept
     // feeds the size aggregate and both pair-join sides. Persist both (the
     // distinct-shingle rows are corpus-vocabulary-bounded, far smaller than
-    // the text) so the shingle explode over the corpus runs exactly once.
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val tri = docs
+    // the text) so the shingle explode over the corpus runs exactly once;
+    // released via [[releaseCached]].
+    val tri = cache(ScanParallelism.ensure(docs)
       .withColumn("nt", nt)
-      .select(col("doc_id"), col("lang"), explode(shingles).as("g"))
-      .persist(mem)
+      .select(col("doc_id"), col("lang"), explode(shingles).as("g")))
     val dfreq = tri.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("df"))
-    val kept = tri.join(dfreq.filter(col("df") <= dfCap), Seq("lang", "g"))
-      .select(col("doc_id"), col("lang"), col("g"))
-      .persist(mem)
+    val kept = cache(tri.join(dfreq.filter(col("df") <= dfCap), Seq("lang", "g"))
+      .select(col("doc_id"), col("lang"), col("g")))
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = kept.select(col("doc_id").as("doc_a"), col("lang"), col("g"))
       .join(kept.select(col("doc_id").as("doc_b"), col("lang"), col("g")), Seq("lang", "g"))

@@ -149,9 +149,14 @@ object KgJob {
 
   /** Nodes: Case, Court, Judge, Plaintiff, Defendant, Lawyer, LawFirm with
     * their reference property maps (`data_importer.py:135-234`), deduped on
-    * (type, name) keeping the FIRST occurrence in file order — the
-    * relational form of the reference's entity cache, which only creates a
-    * node the first time a (type, name) is seen (`data_importer.py:238-250`). */
+    * (type, name) — the relational form of the reference's entity cache,
+    * which only creates a node the first time a (type, name) is seen
+    * (`data_importer.py:238-250`). Documented deviation: the reference's
+    * tiebreak is its ingest ITERATION order, which a DataFrame doesn't
+    * carry; the winner here is chosen by CANONICAL lexicographic
+    * `file_name` order — deterministic across runs/executors, but when the
+    * same (type, name) appears in multiple files the surviving props can
+    * differ from a reference run. */
   def nodes(records: DataFrame): DataFrame = {
     val ev = entityView(records)
     val cases = ev.select(lit("Case").as("type"), col("case_key").as("name"),
@@ -186,7 +191,8 @@ object KgJob {
       .unionByName(defendants.select("type", "name", "props", "file_name"))
       .unionByName(lawyers.select("type", "name", "props", "file_name"))
       .unionByName(firms.select("type", "name", "props", "file_name"))
-    // first-occurrence-wins, made deterministic by file order
+    // dedupe on (type, name); canonical lexicographic file_name tiebreak
+    // (NOT reference insertion order — see the scaladoc deviation note)
     val w = Window.partitionBy(col("type"), col("name"))
       .orderBy(col("file_name"))
     all.withColumn("rn", row_number().over(w))

@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   * boundary orders canonically by `file_name` (SURVEY.md §2.3 J3). */
 object MergeJob {
 
+  /** First-wins within set 2, deterministic when a `doc_id` ordering column
+    * exists. WITHOUT `doc_id` the fallback `dropDuplicates` keeps an
+    * ARBITRARY record per file_name — which payload survives can change
+    * run to run (the reference's "first seen" is its file iteration order,
+    * which a DataFrame does not carry). Callers needing deterministic
+    * payload selection must supply `doc_id`; `merge`/`mergeStats` counts
+    * are unaffected either way (only the surviving payload varies). */
   private def dedupeWithin(second: DataFrame): DataFrame =
     if (second.columns.contains("doc_id")) {
       val w = Window.partitionBy(col("file_name")).orderBy(col("doc_id"))

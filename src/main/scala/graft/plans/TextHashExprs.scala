@@ -161,15 +161,21 @@ object TextHashExprs {
     new GenericInternalRow(Array[Any](hex(mn), hex(mx)))
   }
 
-  /** Register all three for SQL/Column use in this session. */
+  /** Register all three for SQL/Column use in this session. Idempotent per
+    * session: every re-registration logs a `SimpleFunctionRegistry` WARN per
+    * function, and query closures call this defensively, so a bench run
+    * would otherwise spam dozens of replaced-function warnings. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "simhash16", exprs => SimHash16Expr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSigExpr(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "shingle_minmax", exprs => ShingleMinMaxExpr(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("simhash16"))) {
+      reg.createOrReplaceTempFunction(
+        "simhash16", exprs => SimHash16Expr(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "minhash_sig", exprs => MinHashSigExpr(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "shingle_minmax", exprs => ShingleMinMaxExpr(exprs(0), exprs(1)), "built-in")
+    }
   }
 
   def simhash16(tokens: Column): Column = call_function("simhash16", tokens)
@@ -179,9 +185,15 @@ object TextHashExprs {
     call_function("shingle_minmax", nt, width)
 }
 
+/** NULL on an empty token array: a zero-token doc has no defined simhash —
+  * every tie-break would set all 16 bits (0xFFFF), a misleading "hash", and
+  * the GROUP BY form this replaces emitted no row at all for such docs. The
+  * function is registered session-wide for SQL, so the empty case must be
+  * safe without every call site pre-filtering. */
 case class SimHash16Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash16"
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -189,11 +201,20 @@ case class SimHash16Expr(child: Expression) extends UnaryExpression {
       s"simhash16 requires array<string>, got $other")
   }
 
-  override protected def nullSafeEval(input: Any): Any =
-    TextHashExprs.simhash16(input.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    if (toks.numElements() == 0) null else TextHashExprs.simhash16(toks)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.TextHashExprs.simhash16($c)")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($c.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.plans.TextHashExprs.simhash16($c);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash16Expr =
     copy(child = newChild)

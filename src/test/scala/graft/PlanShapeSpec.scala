@@ -27,15 +27,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), s"$name plan has an explode:\n$p")
     assert(!p.contains("CartesianProduct"), s"$name plan has a cartesian product")
     assert(!p.contains("BroadcastNestedLoop"), s"$name plan has a nested-loop join")
+    assert(!p.contains("Join"), s"$name plan has a join:\n$p")
+    // Exchange count is NOT capped at 1: beyond the output sort, the
+    // single-split parallelism guard (ScanParallelism.ensure) may add one
+    // round-robin repartition — the point of the assertion is no explode
+    // and no join (per-row compute stays per-row), not shuffle-freedom.
     val exchanges = "Exchange".r.findAllMatchIn(p).size
-    assert(exchanges <= 1, s"$name has $exchanges exchanges (only the output sort is allowed):\n$p")
+    assert(exchanges <= 2, s"$name has $exchanges exchanges (sort + parallelism guard allowed):\n$p")
   }
 
-  test("q_dedup_simhash is per-row: no explode, no join, <=1 exchange") {
+  test("q_dedup_simhash is per-row: no explode, no join") {
     assertInRow("q_dedup_simhash")
   }
 
-  test("q_fingerprint is per-row: no explode, no join, <=1 exchange") {
+  test("q_fingerprint is per-row: no explode, no join") {
     assertInRow("q_fingerprint")
   }
 

@@ -49,6 +49,16 @@ class TextHashSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}"))
   }
 
+  test("simhash16 returns NULL on an empty token array (no misleading 0xFFFF)") {
+    // the GROUP BY form it replaced emitted no row for zero-token docs; the
+    // registered SQL function must not hand unfiltered callers all-ones
+    val rows = df.withColumn("toks",
+        filter(split(col("text"), " "), _ => lit(false)))
+      .select(TextHashExprs.simhash16(col("toks")).as("h"))
+      .collect()
+    assert(rows.nonEmpty && rows.forall(_.isNullAt(0)))
+  }
+
   test("minhash_sig equals array_min over a transform of seeded md5") {
     val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
     val rows = df.withColumn("toks", toks).filter(size(col("toks")) > 0)
