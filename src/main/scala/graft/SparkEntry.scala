@@ -526,6 +526,28 @@ object SparkEntry {
         .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
     }),
 
+    // Multimodal media (rows-only check: the deterministic decode-stub fold
+    // is a per-byte loop DuckDB can't express; StreamingMediaSpec pins the
+    // semantics). Full first-class chain: corpus media spans → synthesized
+    // media table → batched scan-stage feature extraction (media bytes
+    // never shuffle) → image-resize geometry + per-video sampled-frame
+    // counts, one row per media object. --------------------------------------
+    "q_media_features" -> ((s, dir) => {
+      val docs = CorpusGen.generate(s, corpusSize(dir), 32).toDF()
+      val media = graft.pipeline.MediaJob.synthesizeFromDocs(s, docs)
+      val feats = graft.pipeline.MediaJob.extractFeatures(s, media)
+      val resized = graft.pipeline.MediaJob.resizeImages(s, feats).toDF()
+        .select(col("media_ref"), col("out_w"), col("out_h"))
+      val frames = graft.pipeline.MediaJob.sampleFrames(s, feats).toDF()
+        .groupBy(col("media_ref")).agg(count(lit(1)).as("n_frames"))
+      feats.toDF()
+        .select(col("media_ref"), col("doc_id"), col("media_type"),
+          col("byte_len"), col("dim1"), col("dim2"), col("dim3"))
+        .join(resized, Seq("media_ref"), "left")
+        .join(frames, Seq("media_ref"), "left")
+        .orderBy(col("media_ref"))
+    }),
+
     // Extraction engine (rows-only check — the golden suite is the real
     // correctness gate for these; see GoldenExtractionSpec) ----------------
     "q_extract_records" -> ((s, dir) => {

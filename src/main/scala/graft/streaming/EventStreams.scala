@@ -40,35 +40,59 @@ object EventStreams {
   final case class SessionUpdate(user_id: Long, n_events: Long, total: Double, closed: Boolean)
   final case class SessionState(n: Long, total: Double, lastTs: Long)
 
-  /** Custom per-user session state: sessions close after 1 hour of event-time
-    * inactivity (processing-time timeout in this demo so AvailableNow
-    * triggers flush deterministically via final timeout batch). */
-  def sessionize(spark: SparkSession, eventsPath: String): Dataset[SessionUpdate] = {
+  /** Custom per-user session state with PRODUCTION close semantics: a
+    * session closes either (a) when a later event arrives more than `gap`
+    * after the session's last event, or (b) via `EventTimeTimeout` when the
+    * WATERMARK passes lastTs + gap — so idle sessions are flushed and their
+    * state removed without waiting for the user's next event (the round-2
+    * form used NoTimeout + an open-snapshot row per batch, a demo shape
+    * whose state never expired). State is therefore bounded by the number
+    * of users active within one gap horizon, not all users ever seen.
+    *
+    * Every emitted row is a CLOSED session; a session whose user stays
+    * quiet within the watermark horizon remains in state, unemitted —
+    * exactly a production sessionizer's contract. Events within one
+    * micro-batch are buffered and time-sorted per user; bounded by trigger
+    * size. */
+  def sessionize(spark: SparkSession, eventsPath: String,
+                 gapMs: Long = 3600 * 1000L): Dataset[SessionUpdate] = {
     import spark.implicits._
     val events = spark.readStream
       .schema(eventSchema)
       .parquet(eventsPath)
+      .withWatermark("ts", "0 seconds")
       .as[(Long, Timestamp, Long, String, Double, String)]
 
     events
       .groupByKey(_._3)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long,
          it: Iterator[(Long, Timestamp, Long, String, Double, String)],
          state: GroupState[SessionState]) => {
-          var s = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
-          val out = Seq.newBuilder[SessionUpdate]
-          it.toSeq.sortBy(e => (e._2.getTime, e._1)).foreach { e =>
-            val t = e._2.getTime
-            if (s.lastTs != Long.MinValue && t - s.lastTs > 3600 * 1000L) {
-              out += SessionUpdate(userId, s.n, s.total, closed = true)
-              s = SessionState(0L, 0.0, Long.MinValue)
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap with no new events: close & evict
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, s.n, s.total, closed = true))
+          } else {
+            var s = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+            val out = Seq.newBuilder[SessionUpdate]
+            it.toSeq.sortBy(e => (e._2.getTime, e._1)).foreach { e =>
+              val t = e._2.getTime
+              if (s.lastTs != Long.MinValue && t - s.lastTs > gapMs) {
+                out += SessionUpdate(userId, s.n, s.total, closed = true)
+                s = SessionState(0L, 0.0, Long.MinValue)
+              }
+              s = SessionState(s.n + 1, s.total + e._5, t)
             }
-            s = SessionState(s.n + 1, s.total + e._5, t)
+            state.update(s)
+            // timeout must stay ahead of the current watermark (a user whose
+            // newest event is already older than watermark - gap closes at
+            // the next watermark tick instead of throwing)
+            state.setTimeoutTimestamp(
+              math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
           }
-          state.update(s)
-          out += SessionUpdate(userId, s.n, s.total, closed = false) // open snapshot
-          out.result().iterator
         })
   }
 

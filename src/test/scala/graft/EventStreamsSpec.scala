@@ -42,24 +42,54 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(joined.filter(col("n") =!= col("n_batch")).count() == 0)
   }
 
-  test("flatMapGroupsWithState sessionization conserves per-user event counts") {
-    import spark.implicits._
+  test("event-time-timeout sessionization: closed sessions match batch; timeouts close idle sessions") {
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = 3600 * 1000L
     val q = EventStreams.startToMemory(
       EventStreams.sessionize(spark, eventsPath).toDF(), "sessions")
     q.awaitTermination()
     val sessions = spark.table("sessions")
     assert(sessions.count() > 0)
+    // every emitted row is a closed session (no open snapshots anymore)
+    assert(sessions.filter(!col("closed")).count() == 0)
 
-    val perUserStream = sessions.groupBy("user_id")
-      .agg(sum("n_events").as("n_stream"))
-    val perUserBatch = spark.read.parquet(eventsPath)
-      .groupBy("user_id").agg(count(lit(1)).as("n_batch"))
-    val joined = perUserStream.join(perUserBatch, Seq("user_id"), "full_outer")
-    assert(joined.filter(coalesce(col("n_stream"), lit(-1)) =!=
-      coalesce(col("n_batch"), lit(-2))).count() == 0,
-      "every user's events must be accounted for across closed+open sessions")
-    // the 1-hour gap rule must actually close some sessions on this data
-    assert(sessions.filter(col("closed")).count() > 0)
+    // Batch expectation: per-user 1h-gap sessionization; a session is
+    // closed either by a later event (every non-trailing session) or by
+    // the watermark timeout (a trailing session with lastTs + gap <
+    // final watermark = max ts over the whole stream, strict — matching
+    // FlatMapGroupsWithStateExec's `timeoutTimestamp < watermark`).
+    val ev = spark.read.parquet(eventsPath)
+      .withColumn("ts_ms", unix_millis(col("ts").cast("timestamp")))
+    val maxTs = ev.agg(max(col("ts_ms"))).collect()(0).getLong(0)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withSid = ev
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(w))
+    val sess = withSid.groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total"),
+        max(col("ts_ms")).as("last_ms"))
+    val maxSid = sess.groupBy(col("user_id")).agg(max(col("sid")).as("max_sid"))
+    val expected = sess.join(maxSid, Seq("user_id"))
+      .filter(col("sid") < col("max_sid") || col("last_ms") + gapMs < maxTs)
+
+    // multiset equality on (user_id, n_events, total@4dp) — totals are fp
+    // sums whose accumulation order differs between batch and stream
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), col("n_events"), round(col("total"), 4).as("t"))
+      .agg(count(lit(1)).as("k"))
+    val diff = keyed(sessions).withColumnRenamed("k", "k_s")
+      .join(keyed(expected).withColumnRenamed("k", "k_b"),
+        Seq("user_id", "n_events", "t"), "full_outer")
+      .filter(coalesce(col("k_s"), lit(-1)) =!= coalesce(col("k_b"), lit(-2)))
+    assert(diff.count() == 0, s"closed-session mismatch:\n${diff.collect().mkString("\n")}")
+
+    // some sessions must have closed via TIMEOUT (trailing sessions with no
+    // later event), not only via a later event
+    val timeoutClosed = expected.filter(col("sid") === col("max_sid")).count()
+    assert(timeoutClosed > 0, "fixture must exercise the watermark-timeout close path")
   }
 
   test("streaming exact dedup keeps one doc per fingerprint with bounded state") {

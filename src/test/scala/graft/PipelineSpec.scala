@@ -93,6 +93,53 @@ class PipelineSpec extends AnyFunSuite {
       == direct.select("doc_id").distinct().count())
   }
 
+  test("lineage replay (same run_id + bucket epoch) double-marks nothing and reprocesses nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val docs = CorpusGen.generate(spark, 80, 4).cache()
+    val out = tmpDir()
+    val l1 = ExtractJob.runResumable(spark, docs, out, "runX", numBuckets = 8, bucketsPerWave = 4)
+    val n1 = spark.read.parquet(s"$out/records").count()
+    val ids1 = spark.read.parquet(s"$out/records")
+      .select("doc_id").collect().map(_.getString(0)).sorted.toSeq
+
+    // Speculative-retry simulation: the driver's lineage append for wave 1
+    // is replayed verbatim (same run_id, same partition epochs) — e.g. a
+    // retried write whose first attempt actually landed.
+    l1.filter(_.partition_id < 4).toDS()
+      .write.mode(SaveMode.Append).parquet(s"$out/lineage")
+    val marks = spark.read.parquet(s"$out/lineage")
+      .filter(col("run_id") === "runX" && col("status") === "done")
+    assert(marks.groupBy("partition_id").count().filter(col("count") > 1).count() == 4,
+      "replay staged: buckets 0-3 carry duplicate done-marks")
+
+    // Resume under duplicated marks: the done-set is keyed (run_id,
+    // partition_id), so duplicates are idempotent — nothing reprocessed,
+    // no third mark added, records byte-identical.
+    val l2 = ExtractJob.runResumable(spark, docs, out, "runX", numBuckets = 8, bucketsPerWave = 4)
+    assert(l2.isEmpty, s"resume reprocessed ${l2.map(_.partition_id)}")
+    val marksAfter = spark.read.parquet(s"$out/lineage")
+      .filter(col("run_id") === "runX" && col("status") === "done")
+    assert(marksAfter.count() == marks.count(), "resume must not add marks for done buckets")
+    val ids2 = spark.read.parquet(s"$out/records")
+      .select("doc_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(ids2 == ids1 && ids2.distinct.size == ids2.size,
+      "records unchanged and no doc extracted twice")
+    assert(spark.read.parquet(s"$out/records").count() == n1)
+
+    // And a replayed WAVE (records write + lineage append re-executed after
+    // its marks are lost) stays idempotent: dynamic partition overwrite
+    // rewrites only its own buckets.
+    val keep = spark.read.parquet(s"$out/lineage").filter(col("partition_id") >= 4).cache()
+    keep.count()
+    keep.write.mode(SaveMode.Overwrite).parquet(s"$out/lineage")
+    val l3 = ExtractJob.runResumable(spark, docs, out, "runX", numBuckets = 8, bucketsPerWave = 4)
+    assert(l3.map(_.partition_id).toSet == (0 until 4).toSet)
+    val ids3 = spark.read.parquet(s"$out/records")
+      .select("doc_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(ids3 == ids1, "wave replay must leave the records table byte-identical")
+  }
+
   test("report aggregations match the golden report") {
     import spark.implicits._
     val docs = DocsSource.fixtureJson(spark, "src/test/resources/fixtures/docs/*/*.json")

@@ -62,8 +62,45 @@ def mutate(rng, pages):
     return perturb(rng, out)
 
 
+# Chinese-path structural keywords (P10 case numbers, P14 parties, P17
+# judges, P20 footer lawyers) mutated with intra-keyword spaces — the form
+# court PDFs actually produce (the reference's court cleaner normalizes
+# 香 港 → 香港 but most other zh extractors do NOT) — plus full-width
+# punctuation/space swaps.
+ZH_KEYWORD_FLIPS = [
+    ("被告人", "被 告 人"), ("原告人", "原 告 人"), ("法官", "法 官"),
+    ("被告", "被　告"), ("原告", "原　告"), ("律師", "律 師"),
+    ("第一", "第 一"), ("第二", "第 二"), ("民事訴訟", "民 事 訴 訟"),
+    ("高等法院", "高 等 法 院"), ("判決", "判 決"),
+    (":", "："), ("(", "（"), (")", "）"),
+]
+
+
+def mutate_zh(rng, pages):
+    """zh-kernel fuzz depth equal to the English `mutate` mode: keyword
+    space-injection, full-width punctuation, ideographic spaces. Differential
+    ground truth stays the reference run on the SAME mutated input."""
+    out = []
+    for p in pages:
+        if rng.random() < 0.6:
+            a, b = ZH_KEYWORD_FLIPS[rng.randrange(len(ZH_KEYWORD_FLIPS))]
+            p = p.replace(a, b)
+        if rng.random() < 0.3:
+            p = p.replace(" ", "　", 1)  # ideographic space
+        if rng.random() < 0.2:
+            p = p.replace("。", ".", 1)
+        out.append(p)
+    return perturb(rng, out)
+
+
 def main():
     out = Path(sys.argv[1])
+    # Refuse a dirty output dir: regenerating at a different multiplier
+    # leaves stale docs from the previous run in other archetype dirs while
+    # the flat golden dir keeps only the newest — DiffCheck then reports
+    # phantom divergences (docs paired with the OTHER doc's golden).
+    if out.exists() and any(out.iterdir()):
+        sys.exit(f"refusing to write into non-empty {out} — use a fresh dir")
     seed = int(sys.argv[2])
     mult = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     mode = sys.argv[4] if len(sys.argv) > 4 else "plain"
@@ -86,7 +123,8 @@ def main():
             return doc_id, (m(rng, pages) if m else pages)
         return g
 
-    mutator = {"perturb": perturb, "mutate": mutate}.get(mode)
+    mutator = {"perturb": perturb, "mutate": mutate,
+               "mutate_zh": mutate_zh}.get(mode)
     gf.ARCHETYPES = [
         (n, wrap(f, mutator), c * mult) for (n, f, c) in gf.ARCHETYPES]
     gf.main()
