@@ -30,7 +30,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // destroys scaling efficiency (measured 0.36 → 1.0 at 64g); the sandbox
   // has 128 GiB, so default high.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
-  "-Xms16g",
+  // Xms MUST equal Xmx here: with AlwaysPreTouch, every heap EXPANSION
+  // pre-faults the newly committed pages INSIDE the GC pause — measured
+  // 1.8-9.6 s "young" pauses while growing 16g -> 24g, which made the
+  // dedup benches bimodal (2.3 s vs 9-26 s for the same query). A fixed,
+  // fully pre-touched heap never pauses for commit again.
+  // Known cost on this microVM: host-side page backing is slow (~60 CPU-min
+  // of sys time to fault in 64g), so JVM startup takes ~1-3 min — untimed
+  // in every bench/verify protocol, and measured A/B: 64g is ~10% faster
+  // and much steadier than 24g on the scaling job (5132 vs 4629 docs/s,
+  // rep spread 35-38 s vs 40-65 s at 200k docs). Override with
+  // SPARK_DRIVER_MEM for quick iteration runs.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
   // Pre-touch: this sandbox is a microVM where first-touch page faults on a
   // growing heap burn 40-60% sys-time at 32 threads and make run times
   // bimodal; pre-faulting the heap at JVM start removes that.

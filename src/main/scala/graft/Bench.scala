@@ -71,6 +71,13 @@ object Bench {
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t = try {
+        // one untimed warm rep at the TARGET sf: the sf0.001 pass warms
+        // codegen/plan shapes but not the target files' page cache or the
+        // scan-side decompression JIT, which was costing the first timed
+        // queries 1-2 s of one-off noise.
+        graft.pipeline.DedupJobs.releaseCached()
+        spark.catalog.clearCache()
+        noop(fn(spark, sfDir))
         val reps = (1 to 2).map { _ =>
           graft.pipeline.DedupJobs.releaseCached()
           spark.catalog.clearCache()

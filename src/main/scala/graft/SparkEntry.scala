@@ -219,9 +219,10 @@ object SparkEntry {
       // Signature stage is fully in-row (one compiled pass over the token
       // array, graft.plans.MinHashSigExpr — no token ever leaves its row);
       // the only shuffles left are the banded equi-joins, which are the
-      // algorithm's point.
+      // algorithm's point — plus the single-split parallelism guard for the
+      // signature projection (no-op at real scale).
       graft.plans.TextHashExprs.register(s)
-      val d = t(s, dir, "documents")
+      val d = graft.pipeline.ScanParallelism.ensure(t(s, dir, "documents"))
       val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
       // in-row min over the array = groupBy-min over exploded tokens; docs
       // with zero tokens fell out of the GROUP BY, so filter them the same.

@@ -37,6 +37,10 @@ object DedupJobs {
   private val cachedIntermediates =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
+  /** Persist + track for [[releaseCached]]. (An eager count-barrier variant
+    * was measured and rejected: the 9-26 s bimodal runs it was meant to fix
+    * were really heap-EXPANSION GC pauses — see build.sbt Xms note — and
+    * with a fixed heap the barrier's extra pass only cost time.) */
   private def cache(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cachedIntermediates.add(p)

@@ -33,14 +33,13 @@ object RecordsSink {
     records.write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(path)
 
-  /** S6 — Excel-compatible export. The reference writes `.xlsx` of the same
-    * flat records table via openpyxl (`src/processor.py:171-177`); this
-    * container has no spreadsheet library, so the export is the
-    * Excel-interchange CSV form: UTF-8 BOM (what the reference's own CSV
-    * sink emits via `encoding='utf-8-sig'`, `src/processor.py:166`), CRLF
-    * row ends, all fields quoted. Driver-side single file — small corpora
-    * only (the reference's sink also materializes the whole DataFrame
-    * driver-side); use [[writeCsv]] for bulk. */
+  /** S6 — Excel-compatible CSV export (UTF-8 BOM via the reference's own
+    * `encoding='utf-8-sig'`, `src/processor.py:166`, CRLF row ends, all
+    * fields quoted). The TRUE binary `.xlsx` form of S6 is
+    * [[XlsxSink.writeXlsx]] (hand-written OOXML over `java.util.zip` — no
+    * spreadsheet library needed after all). Driver-side single file — small
+    * corpora only (the reference's sink also materializes the whole
+    * DataFrame driver-side); use [[writeCsv]] for bulk. */
   def writeExcelCompatibleCsv(records: DataFrame, file: String): Unit = {
     val cols = records.columns
     def q(s: String): String =

@@ -15,6 +15,9 @@ object TimeQ {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(100000).selectExpr("sum(id)").collect()
     names.foreach { n =>
+      // bench-protocol parity: cold cache per rep
+      graft.pipeline.DedupJobs.releaseCached()
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
