@@ -50,6 +50,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("ScanParallelism.ensure fans out single-split scans and no-ops on wide ones") {
+    import spark.implicits._
+    val single = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(single.rdd.getNumPartitions < spark.sparkContext.defaultParallelism,
+      "precondition: the small table must arrive as fewer splits than cores")
+    val ensured = graft.pipeline.ScanParallelism.ensure(single)
+    assert(ensured.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    assert(ensured.count() == single.count(), "repartition must not drop rows")
+    // already-wide input: no shuffle added (same plan object back)
+    val wide = single.repartition(spark.sparkContext.defaultParallelism * 2)
+    assert(graft.pipeline.ScanParallelism.ensure(wide) eq wide)
+  }
+
   test("q_similar_docs plans equi-joins only (no cartesian/nested-loop)") {
     val p = plan(SparkEntry.queries("q_similar_docs")(spark, sfDir))
     assert(!p.contains("CartesianProduct"), s"q_similar_docs has a cartesian product:\n$p")
