@@ -122,7 +122,11 @@ object CaseViewer {
       edges += ViewerEdge("case", "judge", "审理法官", "JUDGED_BY")
     }
     cleanText(get("court_name")).foreach { court =>
-      nodes += ViewerNode("court", s"法院\n${court.take(30)}...", "Court",
+      // Python's court[:30] slices CODE POINTS; String.take counts UTF-16
+      // units and could split a surrogate pair on astral-plane input
+      val cut = court.substring(0,
+        court.offsetByCodePoints(0, math.min(30, court.codePointCount(0, court.length))))
+      nodes += ViewerNode("court", s"法院\n$cut...", "Court",
         nodeColors("Court"), 45, Map("name" -> court, "type" -> "court"))
       edges += ViewerEdge("case", "court", "审理法院", "HEARD_IN")
     }

@@ -33,29 +33,95 @@ object MediaJob {
       dim1: Int, dim2: Int, dim3: Int,
       feature: Array[Float])
 
-  /** ============================ STUB ================================
-    * Deterministic fake decoder. A real implementation would dispatch on
-    * media_type to an image codec (JPEG/PNG), an audio decoder (WAV/FLAC),
-    * or a frame sampler (mp4) — none are available in this container.
-    * The fake derives stable pseudo-dimensions and a 16-dim feature vector
-    * from the bytes so the distributed plumbing is fully testable.
+  private def u16be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def u32be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def u32le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  /** REAL container-header parsing — plain byte arithmetic, no codec
+    * library: PNG IHDR width/height, JPEG SOFn height/width, WAV (RIFF)
+    * sample-rate + data-bytes→samples. Returns (dim1, dim2, dim3) or None
+    * when the bytes aren't one of these containers. */
+  private[graft] def probeHeader(mediaType: String,
+                                 b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b == null) return None
+    // PNG: 8-byte signature, then the IHDR chunk at fixed offset 16
+    if (b.length >= 24 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+        b(3) == 'G')
+      return Some((u32be(b, 16), u32be(b, 20), 3))
+    // JPEG: FF D8, then marker segments; SOF0-15 (minus DHT/JPG/DAC) carry
+    // the frame header: [len][precision][height:2][width:2]
+    if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 9 < b.length && (b(i) & 0xff) == 0xff) {
+        val marker = b(i + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          return Some((u16be(b, i + 7), u16be(b, i + 5), b(i + 9) & 0xff))
+        i += 2 + u16be(b, i + 2)
+      }
+      return None
+    }
+    // WAV: RIFF....WAVE, fmt chunk: sample rate @+12 in the chunk body
+    if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+      var i = 12
+      var rate = 0; var bytesPerSample = 1; var dataLen = 0
+      while (i + 8 <= b.length) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val len = u32le(b, i + 4)
+        if (id == "fmt " && i + 24 <= b.length) {
+          // fmt body (i+8): format(2) channels(2) sampleRate(4) byteRate(4)
+          //                 blockAlign(2) bitsPerSample(2)
+          rate = u32le(b, i + 12)
+          bytesPerSample = math.max(1,
+            u16le(b, i + 22) / 8 * math.max(1, u16le(b, i + 10)))
+        }
+        if (id == "data") dataLen = len
+        i += 8 + len + (len & 1)
+      }
+      if (rate > 0) return Some((rate, dataLen / bytesPerSample, 1))
+    }
+    None
+  }
+
+  /** Decode dispatch: REAL header parsing first ([[probeHeader]] — PNG/JPEG
+    * dimensions, WAV sample geometry, all pure byte arithmetic), then the
+    * deterministic fake for bytes that aren't a recognized container.
+    *
+    * ============================ STUB ================================
+    * Only the PIXEL/SAMPLE decode (the feature vector) is faked: a real
+    * implementation would run an image codec / audio decoder / mp4 frame
+    * sampler here — none exist in this container. The fake derives a
+    * stable 16-dim vector from a byte fold so the distributed plumbing is
+    * fully testable; swapping in a real decoder changes this one function.
     * ================================================================== */
   def decodeStub(mediaType: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val b = if (bytes == null) Array.empty[Byte] else bytes
     var h = 1125899906842597L // deterministic FNV-ish fold of the bytes
     var i = 0
     while (i < b.length) { h = 31 * h + b(i); i += 1 }
-    val dim1 = 64 + (math.abs(h) % 1024).toInt
-    val dim2 = 64 + (math.abs(h >> 10) % 1024).toInt
-    val dim3 = mediaType match {
-      case "image" => 3
-      case "audio" => 1
-      case _       => 24 // fake frame count
-    }
     val feat = Array.tabulate(16) { k =>
       (((h >> (k * 3)) & 0xffL).toFloat / 255.0f) - 0.5f
     }
-    (dim1, dim2, dim3, feat)
+    probeHeader(mediaType, b) match {
+      case Some((d1, d2, d3)) => (d1, d2, d3, feat)
+      case None =>
+        val dim1 = 64 + (math.abs(h) % 1024).toInt
+        val dim2 = 64 + (math.abs(h >> 10) % 1024).toInt
+        val dim3 = mediaType match {
+          case "image" => 3
+          case "audio" => 1
+          case _       => 24 // fake frame count
+        }
+        (dim1, dim2, dim3, feat)
+    }
   }
 
   /** Batched feature extraction: the Scala-native analogue of a pandas-UDF

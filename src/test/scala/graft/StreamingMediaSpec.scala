@@ -44,6 +44,41 @@ class StreamingMediaSpec extends AnyFunSuite {
     assert(out.select("doc_id").distinct().count() == 65L)
   }
 
+  test("probeHeader parses real PNG/JPEG/WAV container headers (no codec lib)") {
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+
+    // PNG: 8-byte signature + IHDR chunk (len, "IHDR", width, height, ...)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++
+      Array[Byte](8, 6, 0, 0, 0)
+    assert(MediaJob.probeHeader("image", png) == Some((640, 480, 3)))
+
+    // JPEG: SOI, APP0 (skipped), SOF0 with precision/height/width/components
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(6) ++ "JFIF".getBytes ++
+      Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(11) ++ Array[Byte](8) ++
+      be16(333) ++ be16(555) ++ Array[Byte](3, 0, 0)
+    assert(MediaJob.probeHeader("image", jpeg) == Some((555, 333, 3)))
+
+    // WAV: RIFF/WAVE, fmt (PCM stereo 16-bit @44100), data of 88200 bytes
+    val fmtBody = le16(1) ++ le16(2) ++ le32(44100) ++ le32(176400) ++
+      le16(4) ++ le16(16)
+    val wav = "RIFF".getBytes ++ le32(36 + 88200) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ fmtBody ++
+      "data".getBytes ++ le32(88200) ++ Array.fill[Byte](16)(0)
+    assert(MediaJob.probeHeader("audio", wav) == Some((44100, 22050, 1)))
+
+    // unrecognized bytes fall back to the deterministic fake
+    assert(MediaJob.probeHeader("image", "not a container".getBytes).isEmpty)
+    assert(MediaJob.probeHeader("image", null).isEmpty)
+    val (d1, d2, d3, feat) = MediaJob.decodeStub("image", png)
+    assert((d1, d2, d3) == (640, 480, 3) && feat.length == 16,
+      "decodeStub must use the REAL header dims when the container parses")
+  }
+
   test("media feature extraction: schema, determinism, doc join") {
     import spark.implicits._
     val docs = CorpusGen.generate(spark, 300, 4).toDF()
