@@ -47,9 +47,10 @@ object Bench {
     val headline = Seq(
       "q_pricing_summary", "q_revenue_by_segment", "q_top_orders_per_cust",
       "q_similar_docs", "q_events_hourly", "q_dedup_exact", "q_dedup_minhash",
-      "q_dedup_minhash_verified", "q_dedup_ngram_capped", "q_dedup_embedding",
-      "q_dedup_simhash", "q_ann_cosine", "q_ann_lsh_topk", "q_fingerprint",
-      "q_quality_score")
+      "q_dedup_minhash_verified", "q_dedup_components", "q_dedup_ngram_capped",
+      "q_dedup_embedding", "q_dedup_simhash", "q_ann_cosine", "q_ann_lsh_topk",
+      "q_ann_quantized", "q_fingerprint", "q_quality_score",
+      "q_sample_stratified")
 
     // JIT/codegen warm pass at the smallest SF (same plan shapes → same
     // generated classes) so the timed runs measure steady state, not

@@ -248,6 +248,20 @@ object SparkEntry {
         t(s, dir, "documents"), numHashes = 8, bands = 4,
         bucketCap = 200, jaccardThreshold = 0.5)),
 
+    "q_dedup_components" -> ((s, dir) => {
+      // Pairs -> dedup DECISIONS: connected components over the verified
+      // near-dup pairs (higher threshold than q_dedup_minhash_verified so
+      // the graph has real cluster structure), each doc labeled with its
+      // cluster (min reachable doc_id), the cluster size, and whether it is
+      // the canonical keeper. Min-label propagation + pointer jumping —
+      // O(log diameter) rounds of id-equi-joins, see DedupJobs.
+      val pairs = graft.pipeline.DedupJobs.minhashVerified(
+        t(s, dir, "documents"), numHashes = 8, bands = 4,
+        bucketCap = 200, jaccardThreshold = 0.9)
+      graft.pipeline.DedupJobs.connectedComponents(
+        pairs.select(col("doc_a"), col("doc_b")))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) => {
       // Per-doc simhash computed entirely in-row in one compiled pass
       // (graft.plans.SimHash16Expr): each token votes ±1 on each of the 16
@@ -393,6 +407,15 @@ object SparkEntry {
         k = 5, nlist = 8, nprobe = 2)
     }),
 
+    "q_ann_quantized" -> ((s, dir) => {
+      // Top-k over int8-quantized (max-abs) embeddings: 1 byte/dim instead
+      // of 4 — the memory-bound ANN path at 100 TB. Quantize→dequantize→
+      // rank, all per-row builtins; recall vs the exact ranking is
+      // asserted in AnnSpec.
+      val e = t(s, dir, "embeddings")
+      graft.pipeline.AnnJobs.quantizedTopK(e, col("vec_id") < 10, k = 5)
+    }),
+
     // Text analysis --------------------------------------------------------
     "q_lang_id" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -434,6 +457,19 @@ object SparkEntry {
         size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
         size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
           .as("bpe_ish_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_sample_stratified" -> ((s, dir) => {
+      // Deterministic per-stratum sampling for training-data mixing:
+      // downsample en to 10%, keep zh at 50%, default 25% — decided by an
+      // md5 bucket of doc_id, not rand(), so the sample is map-only,
+      // retry-stable, and byte-reproducible across engines (the DuckDB
+      // oracle recomputes the identical sample).
+      graft.pipeline.SamplingJobs.stratifiedSample(
+        t(s, dir, "documents"), key = col("doc_id"), stratum = col("lang"),
+        rates = Map("en" -> 0.10, "zh" -> 0.50), defaultRate = 0.25)
+        .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
         .orderBy(col("doc_id"))
     }),
 
@@ -772,6 +808,60 @@ object SparkEntry {
         |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Mirrors q_dedup_components: minhashVerified(8, 4, 200, 0.9) pairs,
+    // then connected components as a recursive reachability closure —
+    // component = min reachable doc_id (DuckDB's UNION-dedup recursion
+    // terminates because the reachable-pairs set is finite).
+    "q_dedup_components" ->
+      """WITH RECURSIVE tokens AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |sigs AS (
+        |  SELECT doc_id,
+        |         min(md5(concat('0#', tok))) AS h0, min(md5(concat('1#', tok))) AS h1,
+        |         min(md5(concat('2#', tok))) AS h2, min(md5(concat('3#', tok))) AS h3,
+        |         min(md5(concat('4#', tok))) AS h4, min(md5(concat('5#', tok))) AS h5,
+        |         min(md5(concat('6#', tok))) AS h6, min(md5(concat('7#', tok))) AS h7
+        |  FROM tokens GROUP BY doc_id),
+        |bandrows AS (
+        |  SELECT doc_id, 0 AS bi, md5(concat(h0, h1)) AS bh FROM sigs
+        |  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sigs
+        |  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sigs
+        |  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sigs),
+        |bsizes AS (SELECT bi, bh, count(*) AS n FROM bandrows GROUP BY 1, 2),
+        |kept AS (SELECT br.* FROM bandrows br JOIN bsizes s USING (bi, bh) WHERE s.n <= 200),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM kept a JOIN kept b ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |tokset AS (SELECT DISTINCT doc_id, tok FROM tokens),
+        |tsizes AS (SELECT doc_id, count(*) AS n FROM tokset GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM cand c
+        |  JOIN tokset a ON a.doc_id = c.doc_a
+        |  JOIN tokset b ON b.doc_id = c.doc_b AND b.tok = a.tok
+        |  GROUP BY 1, 2),
+        |verified AS (
+        |  SELECT i.doc_a, i.doc_b
+        |  FROM inter i
+        |  JOIN tsizes sa ON sa.doc_id = i.doc_a
+        |  JOIN tsizes sb ON sb.doc_id = i.doc_b
+        |  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.9),
+        |sym AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM verified
+        |  UNION SELECT doc_b, doc_a FROM verified),
+        |reach AS (
+        |  SELECT a AS id, a AS r FROM sym
+        |  UNION
+        |  SELECT w.id, s.b FROM reach w JOIN sym s ON s.a = w.r),
+        |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY 1)
+        |SELECT c.doc_id, c.component, s.cluster_size,
+        |       CAST(CASE WHEN c.doc_id = c.component THEN 1 ELSE 0 END AS INT) AS is_canonical
+        |FROM comp c
+        |JOIN (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1) s
+        |  USING (component)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_dedup_simhash" ->
       """WITH tokens AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
@@ -904,6 +994,47 @@ object SparkEntry {
         |  FROM scored)
         |SELECT q_id, bucket, n_id, sim, rn FROM ranked WHERE rn <= 3
         |ORDER BY q_id, rn""".stripMargin,
+
+    // Mirrors AnnJobs.quantizedTopK: int8 max-abs quantize → dequantize →
+    // brute-force cosine top-5 (same 4dp rounding / id tiebreak as
+    // q_ann_cosine). round(x*127/maxabs)*maxabs/127 is written with the
+    // identical operation order on both engines.
+    "q_ann_quantized" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
+        |  FROM embeddings),
+        |deq AS (
+        |  SELECT vec_id,
+        |         CASE WHEN maxabs = 0
+        |              THEN list_transform(emb, x -> CAST(0.0 AS DOUBLE))
+        |              ELSE list_transform(emb, x -> round(x * 127.0 / maxabs) * maxabs / 127.0)
+        |         END AS demb
+        |  FROM base),
+        |q AS (SELECT vec_id AS q_id, demb AS q_emb FROM deq WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS n_id, demb AS n_emb FROM deq),
+        |scored AS (
+        |  SELECT q_id, n_id,
+        |         round(list_cosine_similarity(q_emb, n_emb), 4) AS sim
+        |  FROM q JOIN c ON q_id <> n_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, sim,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |  FROM scored)
+        |SELECT q_id, n_id, sim, rn FROM ranked WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin,
+
+    // Mirrors SamplingJobs.stratifiedSample(en→0.10, zh→0.50, default 0.25):
+    // keep when the first two hex chars of md5(doc_id) sort below the
+    // stratum's threshold (hex('1a')=26≈0.10*256, '80'=128=0.50*256,
+    // '40'=64=0.25*256).
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, source,
+        |       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |      CASE lang WHEN 'en' THEN '1a' WHEN 'zh' THEN '80' ELSE '40' END
+        |ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" ->
       """SELECT doc_id,

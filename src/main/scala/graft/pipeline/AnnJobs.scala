@@ -120,6 +120,54 @@ object AnnJobs {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Int8 max-abs (symmetric) quantization of a float-vector column:
+    * `struct(maxabs double, q array<tinyint>)` with
+    * q_i = round(x_i * 127 / max|x|). One byte per dimension instead of
+    * four — at 100 TB of embeddings this is the difference between a
+    * vector table that fits executor memory for the ANN join and one that
+    * doesn't (64-dim: 64 B + one scale vs 256 B per vector). Pure per-row
+    * builtins, stays in codegen; zero vectors quantize to all-zeros. */
+  def int8Quantize(emb: Column): Column = {
+    val demb = transform(emb, x => x.cast("double"))
+    val maxabs = array_max(transform(demb, x => abs(x)))
+    struct(
+      maxabs.as("maxabs"),
+      when(maxabs === 0.0, transform(demb, _ => lit(0).cast("tinyint")))
+        .otherwise(transform(demb, x =>
+          round(x * lit(127.0) / maxabs).cast("tinyint")))
+        .as("q"))
+  }
+
+  /** Reconstruct doubles from [[int8Quantize]] output: q_i * maxabs / 127.
+    * Element-wise reconstruction error is bounded by maxabs/254. */
+  def int8Dequantize(qs: Column): Column = {
+    val maxabs = qs.getField("maxabs")
+    when(maxabs === 0.0, transform(qs.getField("q"), _ => lit(0.0)))
+      .otherwise(transform(qs.getField("q"), q =>
+        q.cast("double") * maxabs / lit(127.0)))
+  }
+
+  /** Brute-force top-k over int8-DEQUANTIZED vectors — the memory-bound
+    * ANN path: candidates are ranked on reconstructed vectors, so the
+    * candidate table ships/holds 1 byte per dimension. Same rounding and
+    * tiebreak as [[bruteForceTopK]], so recall vs the exact ranking is
+    * directly measurable (AnnSpec). */
+  def quantizedTopK(embeddings: DataFrame, queryIds: Column,
+                    k: Int = 5): DataFrame = {
+    val deq = embeddings.withColumn("demb",
+      int8Dequantize(int8Quantize(col("embedding"))))
+    val q = deq.filter(queryIds)
+      .select(col("vec_id").as("q_id"), col("demb").as("q_emb"))
+    val c = deq.select(col("vec_id").as("n_id"), col("demb").as("n_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("n_id"))
+    q.join(broadcast(c), col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Brute-force baseline (same cosine rounding) for recall measurement. */
   def bruteForceTopK(spark: SparkSession, embeddings: DataFrame,
                      queryIds: Column, k: Int = 5): DataFrame = {

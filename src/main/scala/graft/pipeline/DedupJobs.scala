@@ -152,6 +152,74 @@ object DedupJobs {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Connected components over a near-duplicate pair table — the step that
+    * turns PAIRS into dedup decisions: every doc gets its cluster id (the
+    * smallest doc_id reachable through pair edges) and the cluster's
+    * canonical representative (the min id) is marked, so "keep one doc per
+    * near-dup cluster" is a filter on `is_canonical`.
+    *
+    * Algorithm: distributed min-label propagation with POINTER JUMPING.
+    * Each round does (a) a neighbor-min step — comp(v) := min(comp(v),
+    * min over neighbors comp(u)) — and (b) a path-halving step —
+    * comp(v) := comp(comp(v)) — so label chains shrink geometrically and
+    * convergence is O(log diameter) rounds, not O(diameter) (near-dup
+    * clusters are near-cliques, so 2-4 rounds in practice; the jumping step
+    * is what keeps adversarial chain-shaped graphs from needing a round per
+    * hop — the same idea as the large-star/small-star MapReduce CC
+    * algorithm). Each round is two equi-joins on ids: no all-pairs, state
+    * is one (id, comp) row per distinct doc in the pair table, and the
+    * per-round result is persisted + materialized so lineage never stacks
+    * across rounds. Monotone (comp only decreases, bounded by the component
+    * min), so the fixpoint is exact, not approximate.
+    *
+    * Throws if `maxIter` rounds don't converge — truncation is never
+    * silent. Returns (doc_id, component, cluster_size, is_canonical)
+    * for every doc that appears in at least one pair. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // Iterative algorithms MUST truncate lineage per round: the stepped/
+    // jumped plan references the previous round's plan several times, so
+    // the logical tree doubles every round and Catalyst's re-analysis and
+    // plan rendering go exponential long before execution is the problem
+    // (persist alone does NOT shorten the logical plan). localCheckpoint
+    // (eager) replaces each round's result with its materialized RDD; on a
+    // real cluster use reliable checkpoint() for executor-loss tolerance.
+    // Checkpoint blocks are freed by the ContextCleaner once unreferenced.
+    val sym = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("ncomp")).as("nmin"))
+        .select(col("src").as("id"), col("nmin"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      // pointer jump: follow the label one hop (comp(v) := comp(comp(v)))
+      val hop = stepped.select(col("id").as("jid"), col("comp").as("jcomp"))
+      val jumped = stepped.join(hop, stepped("comp") === hop("jid"), "left")
+        .select(stepped("id"), coalesce(col("jcomp"), stepped("comp")).as("comp"))
+        .localCheckpoint()
+      changed = jumped.join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
+        .filter(col("comp") < col("old")).count()
+      labels = jumped
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds ($changed labels still moving)")
+    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("comp"))
+      .select(col("id").as("doc_id"), col("comp").as("component"),
+        col("cluster_size"),
+        when(col("id") === col("comp"), 1).otherwise(0).cast("int").as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   /** n-gram Jaccard with a DOCUMENT-FREQUENCY cap on the join key: shingles
     * occurring in more than `dfCap` documents are dropped from both the
     * join and the per-doc set sizes (Jaccard is then over the capped sets,

@@ -61,4 +61,41 @@ class AnnSpec extends AnyFunSuite {
       .sum / brute.size
     assert(recall == 1.0, f"sampled-training recall at nprobe=nlist: $recall%.2f")
   }
+
+  test("int8 quantization: tinyint storage, bounded error, high top-k recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    val qd = emb.select(col("vec_id"), col("embedding"),
+      AnnJobs.int8Quantize(col("embedding")).as("qs"))
+    // storage claim: the quantized codes really are 1-byte elements
+    val qField = qd.schema("qs").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("q").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    assert(qField.elementType == org.apache.spark.sql.types.ByteType,
+      s"quantized codes must be array<tinyint>, got $qField")
+
+    // element-wise reconstruction error bound: |x - deq(x)| <= maxabs/254
+    val err = qd.select(
+      greatest(aggregate(
+        zip_with(col("embedding"), AnnJobs.int8Dequantize(col("qs")),
+          (x, d) => abs(x.cast("double") - d)),
+        lit(0.0), (acc, v) => greatest(acc, v))
+        - col("qs.maxabs") / lit(254.0), lit(0.0)).as("excess"))
+      .agg(max(col("excess"))).head.getDouble(0)
+    assert(err < 1e-12, s"reconstruction error exceeded maxabs/254 by $err")
+
+    // ranking on dequantized vectors stays close to the exact ranking
+    val isQuery = col("vec_id") < 20
+    val brute = AnnJobs.bruteForceTopK(spark, emb, isQuery, k = 5).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+    val quant = AnnJobs.quantizedTopK(emb, isQuery, k = 5).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+    assert(quant.keySet == brute.keySet)
+    val recall = brute.keys.toSeq
+      .map(q => (quant(q) intersect brute(q)).size.toDouble / brute(q).size)
+      .sum / brute.size
+    assert(recall >= 0.8, f"int8 top-5 recall vs exact: $recall%.2f")
+  }
 }

@@ -86,4 +86,56 @@ class DedupSpec extends AnyFunSuite {
     assert(capped == 0, s"capped run must drop the hot bucket's pairs, got $capped")
     assert(uncapped == 20L * 19 / 2, s"uncapped run keeps all clone pairs, got $uncapped")
   }
+
+  test("connected components: chain, clique, pair — min-id labels and canonicals") {
+    import spark.implicits._
+    // chain 1-2-3-4, triangle 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val out = DedupJobs.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    DedupJobs.releaseCached()
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L))
+    Seq(1L, 2L, 3L, 4L).foreach(id => assert(out(id) == (1L, 4L, if (id == 1L) 1 else 0)))
+    Seq(10L, 11L, 12L).foreach(id => assert(out(id) == (10L, 3L, if (id == 10L) 1 else 0)))
+    Seq(20L, 21L).foreach(id => assert(out(id) == (20L, 2L, if (id == 20L) 1 else 0)))
+  }
+
+  test("connected components: pointer jumping converges a 64-hop chain in few rounds") {
+    import spark.implicits._
+    // a pure chain is the adversarial diameter case: plain label propagation
+    // needs 64 rounds; neighbor-min + path halving must do it well under the
+    // default cap of 25
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = DedupJobs.connectedComponents(chain, maxIter = 25).collect()
+    DedupJobs.releaseCached()
+    assert(out.length == 65)
+    assert(out.forall(_.getLong(1) == 0L), "every chain node labels to the min id")
+    assert(out.forall(_.getLong(2) == 65L))
+    // and an impossible round budget must throw, not silently truncate
+    val err = intercept[IllegalArgumentException] {
+      DedupJobs.connectedComponents(chain, maxIter = 1).collect()
+    }
+    DedupJobs.releaseCached()
+    assert(err.getMessage.contains("did not converge"))
+  }
+
+  test("connected components over verified minhash pairs partition the pair graph") {
+    val pairs = DedupJobs.minhashVerified(docs, 8, 4, 200, jaccardThreshold = 0.9)
+      .select(col("doc_a"), col("doc_b"))
+    val pairRows = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comp = DedupJobs.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    DedupJobs.releaseCached()
+    assert(pairRows.nonEmpty && comp.nonEmpty)
+    // every endpoint is labeled; both endpoints of a pair share a component;
+    // every component is named by its minimum member, which is canonical
+    pairRows.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"pair ($a,$b) split across components")
+    }
+    comp.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c, s"component $c not named by its min member")
+    }
+  }
 }

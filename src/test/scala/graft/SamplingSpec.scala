@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.SamplingJobs
+
+class SamplingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-sampling-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  test("thresholdHex encodes round(rate*256) as 2 lowercase hex chars") {
+    assert(SamplingJobs.thresholdHex(0.0).contains("00"))
+    assert(SamplingJobs.thresholdHex(0.10).contains("1a"))
+    assert(SamplingJobs.thresholdHex(0.25).contains("40"))
+    assert(SamplingJobs.thresholdHex(0.50).contains("80"))
+    assert(SamplingJobs.thresholdHex(1.0).isEmpty)   // keep-all, no filter
+    assert(SamplingJobs.thresholdHex(2.0).isEmpty)
+    intercept[IllegalArgumentException](SamplingJobs.thresholdHex(-0.1))
+  }
+
+  test("stratified sample is deterministic, per-stratum, and rate-accurate") {
+    val rates = Map("en" -> 0.10, "zh" -> 0.50)
+    def run() = SamplingJobs.stratifiedSample(docs, col("doc_id"), col("lang"),
+      rates, defaultRate = 0.25)
+
+    // retry-stability: two runs pick byte-identical row sets
+    val a = run().select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = run().select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.nonEmpty && a.sameElements(b), "hash sampling must be deterministic")
+
+    // per-stratum rates land near target (md5 buckets are uniform; with
+    // n~60-220 per stratum allow a generous binomial tolerance)
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = run().groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, n) =>
+      val target = rates.getOrElse(lang, 0.25)
+      val got = kept.getOrElse(lang, 0L).toDouble / n
+      assert(math.abs(got - target) < 0.15,
+        f"$lang: sampled $got%.3f of $n rows, target $target%.2f")
+    }
+
+    // a full-rate stratum keeps every row
+    val all = SamplingJobs.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 1.0), defaultRate = 1.0)
+    assert(all.count() == docs.count())
+  }
+
+  test("the sample is a pure function of the key: same key set in, same rows out") {
+    // reordering / repartitioning the input cannot change the decision —
+    // this is what makes the sample safe under speculative retry at scale
+    val base = SamplingJobs.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 0.10), defaultRate = 0.25).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val shuffled = SamplingJobs.stratifiedSample(
+      docs.repartition(13, col("source")), col("doc_id"), col("lang"),
+      Map("en" -> 0.10), defaultRate = 0.25).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(base == shuffled)
+  }
+}
