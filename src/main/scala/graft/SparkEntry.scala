@@ -585,6 +585,57 @@ object SparkEntry {
         .orderBy(col("media_ref"))
     }),
 
+    // HTML main-content extraction (north rule: boilerplate strip via
+    // link/text-density heuristics). Corpus docs are wrapped in the FIXED
+    // chrome of HtmlJob.chromePage, so the expected outcome of the
+    // WSDM-2010 word-count classifier is computable from the bare text —
+    // the oracle replays the 17-word rule in SQL while Spark runs the real
+    // tokenizer + classifier end-to-end. ----------------------------------
+    "q_html_extract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val out = graft.pipeline.HtmlJob
+        .extractMainContent(s, graft.pipeline.HtmlJob.wrapCorpus(s, docs))
+      out.toDF()
+        .select(col("doc_id"), explode(col("spans")).as("sp"))
+        .groupBy("doc_id")
+        .agg(
+          sum(when(col("sp.kind") === "text", 1L).otherwise(0L)).as("n_content"),
+          sum(when(col("sp.kind") === "media", 1L).otherwise(0L)).as("n_media"),
+          sum(when(col("sp.kind") === "text", length(col("sp.text")))
+            .otherwise(0L)).as("content_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PDF layout analysis (north rule: page-block segmentation, XY-cut
+    // reading order, repeated header/footer removal). The synthetic layout
+    // is constructed so clean valleys make XY-cut order == word order and
+    // the furniture blocks are exactly the per-page header/footer — the
+    // oracle can then state the expected outcome from the bare text:
+    // n_kept = word count, n_removed = 2·pages, reading text = normalized
+    // text itself. Spark runs the real geometry pipeline end-to-end. ------
+    "q_layout_order" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val blocks = graft.pipeline.LayoutJob.synthesizeBlocks(s, docs)
+      val kept = graft.pipeline.LayoutJob.removeFurniture(s, blocks)
+      val ordered = graft.pipeline.LayoutJob.readingOrder(s, kept).toDF()
+      val total = blocks.toDF().groupBy("doc_id").agg(count(lit(1)).as("n_total"))
+      val agg = ordered.groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(
+            sort_array(collect_list(struct(col("page"), col("seq"), col("text")))),
+            x => x.getField("text")),
+          " ")).as("reading_md5"))
+      docs.select(col("doc_id").cast("long").as("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .join(total, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("n_total") - col("n_kept"), lit(0L)).as("n_removed"),
+          coalesce(col("reading_md5"), md5(lit(""))).as("reading_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Extraction engine (rows-only check — the golden suite is the real
     // correctness gate for these; see GoldenExtractionSpec) ----------------
     "q_extract_records" -> ((s, dir) => {
@@ -1129,6 +1180,47 @@ object SparkEntry {
       """SELECT user_id,
         |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total,
         |  count(*) AS n_events
-        |FROM events GROUP BY 1 ORDER BY total DESC, user_id LIMIT 5""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY total DESC, user_id LIMIT 5""".stripMargin,
+
+    // HTML extraction: the chrome is fixed (HtmlJob.chromePage), so the
+    // WSDM-2010 classifier outcome reduces to the 17-word rule — the
+    // article paragraph is content iff it has >= 17 space-split words
+    // (curr_numWords > 16 branch), which also promotes the adjacent
+    // "Case Report <id>" heading; the one <img> figure always survives
+    // (it sits in <article>, not a negative container).
+    "q_html_extract" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, nt,
+        |         CASE WHEN nt = '' THEN 0
+        |              ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS words
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN words >= 17 THEN 2 ELSE 0 END AS BIGINT) AS n_content,
+        |  CAST(1 AS BIGINT) AS n_media,
+        |  CAST(CASE WHEN words >= 17
+        |       THEN length('Case Report ' || CAST(doc_id AS VARCHAR)) + length(nt)
+        |       ELSE 0 END AS BIGINT) AS content_chars
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    // Layout: the synthetic geometry guarantees XY-cut reading order ==
+    // word order and furniture == 2 blocks per page (see q_layout_order's
+    // Spark-side comment), so the oracle is pure text arithmetic.
+    "q_layout_order" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, nt,
+        |         CASE WHEN nt = '' THEN 0
+        |              ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS words
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(words AS BIGINT) AS n_kept,
+        |  CAST(2 * ceil(words / 10.0) AS BIGINT) AS n_removed,
+        |  md5(nt) AS reading_md5
+        |FROM w ORDER BY doc_id""".stripMargin
   )
 }

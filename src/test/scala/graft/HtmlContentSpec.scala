@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extract.HtmlContent
+import graft.pipeline.{HtmlDoc, HtmlJob}
+
+/** HTML main-content extraction (north rule: boilerplate strip via
+  * text-density/link-density heuristics). The strongest check is the
+  * round-trip self-oracle: text wrapped in [[HtmlJob.chromePage]]'s fixed
+  * boilerplate chrome must come back as exactly (heading, normalized text,
+  * media ref) — every chrome block stripped. Hostile-input cases pin the
+  * tokenizer's never-throw contract.
+  */
+class HtmlContentSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-html-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val longText =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo " +
+      "lima mike november oscar papa quebec romeo sierra tango"  // 20 words
+
+  test("round-trip: chrome page yields heading + paragraph + media only") {
+    val html = HtmlJob.chromePage(7L, longText)
+    val spans = HtmlContent.extract(html)
+    assert(spans.map(_.kind) == Seq("text", "text", "media"))
+    assert(spans(0).text == "Case Report 7")
+    assert(spans(1).text == longText)
+    assert(spans(2).media_ref == "img://7/0")
+    assert(spans.map(_.offset) == Seq(0, 1, 2))
+    // no chrome text leaks
+    val all = spans.map(_.text).mkString(" ")
+    for (chrome <- Seq("Home", "Cases", "About", "Related", "Terms",
+        "Privacy", "Graft Portal", "reserved", "trk"))
+      assert(!all.contains(chrome), s"chrome leak: $chrome")
+  }
+
+  test("short paragraph (<17 words) is classified boilerplate; media kept") {
+    val html = HtmlJob.chromePage(3L, "too short to be content")
+    val spans = HtmlContent.extract(html)
+    assert(spans.map(_.kind) == Seq("media"))
+  }
+
+  test("17-word boundary: paragraph and promoted heading survive") {
+    val w16 = (1 to 16).map(i => s"w$i").mkString(" ")
+    val w17 = (1 to 17).map(i => s"w$i").mkString(" ")
+    assert(HtmlContent.extract(HtmlJob.chromePage(1L, w16)).count(_.kind == "text") == 0)
+    assert(HtmlContent.extract(HtmlJob.chromePage(1L, w17)).count(_.kind == "text") == 2)
+  }
+
+  test("entities round-trip: & < > nbsp and numeric forms") {
+    val raw = "Smith & Jones <Holdings> judgment for 100 > 50 plus extra " +
+      "words to clear the content threshold easily one two three four"
+    val spans = HtmlContent.extract(HtmlJob.chromePage(2L, raw))
+    assert(spans.exists(_.text == raw))
+    // direct entity decode incl. numeric + hex + unknown passthrough
+    val evs = HtmlContent.tokenize(
+      "<p>a&amp;b &#65; &#x42; &nbsp; &bogus; &unterminated</p>")
+    val tb = evs.collect { case t: HtmlContent.TextBlock => t }.head
+    assert(tb.text == "a&b A B &bogus; &unterminated")
+  }
+
+  test("media in negative containers dropped, in content kept, order stable") {
+    val html = "<html><body>" +
+      "<nav><img src='chrome://logo'/><a href='/'>Home</a></nav>" +
+      "<article><p>" + longText + "</p>" +
+      "<img src='fig://1'/><p>" + longText + "</p><video src='vid://2'/></article>" +
+      "<footer><img src='chrome://badge'/></footer></body></html>"
+    val spans = HtmlContent.extract(html)
+    assert(spans.filter(_.kind == "media").map(_.media_ref) == Seq("fig://1", "vid://2"))
+    assert(spans.map(_.kind) == Seq("text", "media", "text", "media"))
+  }
+
+  test("hostile input never throws and drops script/style/comment content") {
+    val cases = Seq(
+      "",
+      "<",
+      "<<<>>>",
+      "<p>unclosed",
+      "<p a=\">\">attr with gt</p>",
+      "<script>if (a<b) { document.write('<div>evil</div>'); }</script><p>" + longText + "</p>",
+      "<style>p>span{color:red}</style><p>" + longText + "</p>",
+      "<!-- <p>commented out</p> --><p>" + longText + "</p>",
+      "<P>" + longText.toUpperCase + "</P>",
+      "<p>" + longText + "<p>5 < 6 and 7 > 2",
+      "<![CDATA[raw & chars]]><p>" + longText + "</p>",
+      "<img src=bare-src-no-quotes.png><p>" + longText + "</p>",
+      "<a href='/x'>" + longText + "</a>"  // fully-linked block: boilerplate
+    )
+    cases.foreach { h =>
+      val spans = HtmlContent.extract(h)  // must not throw
+      val joined = spans.map(_.text).mkString(" ")
+      assert(!joined.contains("evil"))
+      assert(!joined.contains("color:red"))
+      assert(!joined.contains("commented out"))
+    }
+    // fully-linked block has link density 1 -> boilerplate
+    assert(HtmlContent.extract(cases.last).isEmpty)
+    // bare src attribute parsed
+    assert(HtmlContent.extract(cases(11)).exists(_.media_ref == "bare-src-no-quotes.png"))
+  }
+
+  test("WSDM-2010 decision tree branches") {
+    import HtmlContent.numWordsRules
+    assert(!numWordsRules(0, 0.0, 10, 0.5, 0))          // curr link density > 1/3
+    assert(numWordsRules(0, 0.0, 17, 0.0, 0))           // >16 words, clean prev
+    assert(!numWordsRules(4, 0.0, 10, 0.0, 10))         // short, short ctx
+    assert(numWordsRules(5, 0.0, 10, 0.0, 10))          // prev > 4 words
+    assert(numWordsRules(0, 0.0, 5, 0.0, 16))           // next > 15
+    assert(!numWordsRules(0, 0.6, 30, 0.0, 17))         // linky prev, next <= 17
+    assert(numWordsRules(0, 0.6, 30, 0.0, 18))          // linky prev, next > 17
+    assert(numWordsRules(0, 0.6, 41, 0.0, 0))           // linky prev, long curr
+  }
+
+  test("Spark job: corpus wrap + distributed extraction matches local") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, longText),
+      (11L, "short text"),
+      (12L, longText + " more words here")
+    ).toDF("doc_id", "text")
+    val out = HtmlJob.extractMainContent(spark, HtmlJob.wrapCorpus(spark, docs))
+      .collect().map(h => h.doc_id -> h.spans).toMap
+    assert(out(10L) == HtmlContent.extract(HtmlJob.chromePage(10L, longText)))
+    assert(out(11L).map(_.kind) == Seq("media"))
+    assert(out(12L).count(_.kind == "text") == 2)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extract.PageLayout
+import graft.extract.PageLayout.Blk
+import graft.pipeline.{LayoutJob, PageBlock}
+
+/** PDF layout analysis: XY-cut reading order, blank-line segmentation,
+  * furniture normalization, and the distributed header/footer removal +
+  * reading-order job over the synthetic two-column corpus. */
+class LayoutSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-layout-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("xyCut orders a clean two-column page left column first") {
+    // two columns of two rows; idx encodes the expected reading order
+    val blks = IndexedSeq(
+      Blk(50, 60, 200, 100, 0), Blk(50, 180, 200, 100, 1),
+      Blk(300, 60, 200, 100, 2), Blk(300, 180, 200, 100, 3))
+    assert(PageLayout.xyCut(blks) == Seq(0, 1, 2, 3))
+  }
+
+  test("xyCut cuts the widest valley first: full-width banner then columns") {
+    val blks = IndexedSeq(
+      Blk(50, 10, 450, 30, 9),                     // banner spans both columns
+      Blk(300, 60, 200, 100, 2), Blk(50, 60, 200, 100, 0),
+      Blk(50, 180, 200, 100, 1), Blk(300, 180, 200, 100, 3))
+    assert(PageLayout.xyCut(blks) == Seq(9, 0, 1, 2, 3))
+  }
+
+  test("xyCut nested: right column itself splits into two stacked cells") {
+    val blks = IndexedSeq(
+      Blk(50, 60, 200, 400, 0),                     // tall left column
+      Blk(300, 60, 200, 100, 1), Blk(300, 400, 200, 100, 2))
+    assert(PageLayout.xyCut(blks) == Seq(0, 1, 2))
+  }
+
+  test("xyCut falls back to (y, x) on overlapping blocks and terminates") {
+    val blks = IndexedSeq(
+      Blk(0, 0, 100, 100, 1), Blk(50, 50, 100, 100, 2), Blk(10, 0, 100, 100, 0))
+    assert(PageLayout.xyCut(blks) == Seq(1, 0, 2))
+    assert(PageLayout.xyCut(IndexedSeq.empty) == Nil)
+    assert(PageLayout.xyCut(IndexedSeq(Blk(0, 0, 1, 1, 7))) == Seq(7))
+  }
+
+  test("segmentLines groups at blank lines") {
+    assert(PageLayout.segmentLines(Seq("a", "b", "", "c", "  ", null, "d e")) ==
+      Seq("a\nb", "c", "d e"))
+    assert(PageLayout.segmentLines(Seq("", "  ")) == Nil)
+  }
+
+  test("normalizeFurniture: digits to #, case and whitespace folded") {
+    assert(PageLayout.normalizeFurniture("Page 12 of 345") == "page # of #")
+    assert(PageLayout.normalizeFurniture("  HCA   2024\n") == "hca #")
+    assert(PageLayout.normalizeFurniture("A1B2") == "a#b#")
+    assert(PageLayout.normalizeFurniture(null) == "")
+  }
+
+  test("distributed job: furniture removed, reading order equals word order") {
+    import spark.implicits._
+    val text = (1 to 23).map(i => s"tok$i").mkString(" ")  // 23 words -> 3 pages
+    val docs = Seq((5L, text), (6L, "only four words here")).toDF("doc_id", "text")
+    val blocks = LayoutJob.synthesizeBlocks(spark, docs)
+    // 23 content + 3 headers + 3 footers; doc 6: 4 content + 1 + 1
+    assert(blocks.count() == (23 + 6) + (4 + 2))
+    val kept = LayoutJob.removeFurniture(spark, blocks)
+    assert(kept.filter(_.doc_id == 5L).count() == 23)
+    assert(kept.filter(_.doc_id == 6L).count() == 4)
+    val ordered = LayoutJob.readingOrder(spark, kept)
+      .collect().groupBy(_.doc_id).map { case (id, bs) =>
+        id -> bs.sortBy(b => (b.page, b.seq)).map(_.text).mkString(" ")
+      }
+    assert(ordered(5L) == text)
+    assert(ordered(6L) == "only four words here")
+  }
+
+  test("furniture that repeats on only a minority of pages is kept") {
+    import spark.implicits._
+    // 3 pages; an in-band block on page 0 only (1 of 3 pages < half)
+    val content = (0 until 30).map(i => PageBlock(1L, i / 10,
+      50.0 + (i % 10) / 5 * 250.0, 60.0 + (i % 5) * 120.0, 200.0, 100.0, s"w$i"))
+    val oneOff = PageBlock(1L, 0, 50.0, 10.0, 450.0, 30.0, "unique banner")
+    val repeated = (0 until 3).map(p => PageBlock(1L, p, 50.0, 940.0, 450.0, 30.0, s"page ${p + 1}"))
+    val blocks = spark.createDataset(content :+ oneOff :++ repeated)
+    val kept = LayoutJob.removeFurniture(spark, blocks).collect().map(_.text).toSet
+    assert(kept.contains("unique banner"))      // minority: kept
+    assert(!kept.exists(_.startsWith("page "))) // repeated footer: removed
+    assert(content.forall(b => kept.contains(b.text)))
+  }
+}
