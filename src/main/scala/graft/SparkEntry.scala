@@ -636,6 +636,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Training-data chunking + sequence packing (beyond-reference LLM
+    // pipeline family). Chunking is map-only in-row array ops; packing is
+    // one doc_id shuffle with streaming greedy state. Oracle notes: with
+    // size=32/overlap=8 every chunk except a document's last has exactly
+    // 32 tokens, and with budget=100 (3 full chunks = 96 fit, a 4th never
+    // does; the short tail always fits unless it starts a fresh pack) the
+    // greedy outcome reduces to pack_id = chunk_id / 3 — which DuckDB
+    // states in closed form while Spark runs the real accumulator. -------
+    "q_chunks" -> ((s, dir) => {
+      val c = graft.pipeline.ChunkJobs.chunk(t(s, dir, "documents"), 32, 8)
+      c.select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          md5(col("text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    "q_chunk_pack" -> ((s, dir) => {
+      import s.implicits._
+      val c = graft.pipeline.ChunkJobs.chunk(t(s, dir, "documents"), 32, 8)
+        .as[graft.pipeline.Chunk]
+      graft.pipeline.ChunkJobs.pack(s, c, 100).toDF()
+        .select(col("doc_id"), col("pack_id").cast("long").as("pack_id"),
+          col("n_chunks").cast("long").as("n_chunks"),
+          col("n_tokens").cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"), col("pack_id"))
+    }),
+
     // Extraction engine (rows-only check — the golden suite is the real
     // correctness gate for these; see GoldenExtractionSpec) ----------------
     "q_extract_records" -> ((s, dir) => {
@@ -1221,6 +1248,51 @@ object SparkEntry {
         |  CAST(words AS BIGINT) AS n_kept,
         |  CAST(2 * ceil(words / 10.0) AS BIGINT) AS n_removed,
         |  md5(nt) AS reading_md5
-        |FROM w ORDER BY doc_id""".stripMargin
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, string_split(nt, ' ') AS toks,
+        |         CASE WHEN nt = '' THEN 0
+        |              ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |         CASE WHEN n = 0 THEN 0 WHEN n <= 32 THEN 1
+        |              ELSE 1 + CAST(ceil((n - 32) / 24.0) AS INT) END AS n_chunks
+        |  FROM t)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  CAST(least(32, n - i * 24) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(list_slice(toks, CAST(i * 24 + 1 AS INT), CAST(i * 24 + 32 AS INT)), ' ')) AS chunk_md5
+        |FROM c, unnest(range(0, n_chunks)) AS u(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // budget=100 over 32-token chunks: greedy == chunk_id / 3 (see the
+    // Spark-side comment for the fit argument).
+    "q_chunk_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN nt = '' THEN 0
+        |              ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, n,
+        |         CASE WHEN n = 0 THEN 0 WHEN n <= 32 THEN 1
+        |              ELSE 1 + CAST(ceil((n - 32) / 24.0) AS INT) END AS n_chunks
+        |  FROM t),
+        |ch AS (
+        |  SELECT doc_id, i AS chunk_id, least(32, n - i * 24) AS n_tokens
+        |  FROM c, unnest(range(0, n_chunks)) AS u(i))
+        |SELECT doc_id, CAST(chunk_id // 3 AS BIGINT) AS pack_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM ch GROUP BY doc_id, chunk_id // 3
+        |ORDER BY doc_id, pack_id""".stripMargin
   )
 }
