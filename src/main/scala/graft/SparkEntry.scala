@@ -644,6 +644,18 @@ object SparkEntry {
     // does; the short tail always fits unless it starts a fresh pack) the
     // greedy outcome reduces to pack_id = chunk_id / 3 — which DuckDB
     // states in closed form while Spark runs the real accumulator. -------
+    // Gopher-rule quality filtering (Rae et al. 2021 A1.1): per-row
+    // native expressions only; the oracle replays the identical
+    // arithmetic in DuckDB (replace-length symbol counts, list_filter
+    // alpha words, distinct stopword intersection). ----------------------
+    "q_quality_gopher" -> ((s, dir) => {
+      graft.pipeline.QualityFilters.gopherSignals(t(s, dir, "documents"))
+        .select(col("doc_id"), col("word_count"), col("mean_word_len"),
+          col("symbol_word_ratio"), col("alpha_word_ratio"),
+          col("n_stopwords"), col("passes"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_chunks" -> ((s, dir) => {
       val c = graft.pipeline.ChunkJobs.chunk(t(s, dir, "documents"), 32, 8)
       c.select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
@@ -1249,6 +1261,41 @@ object SparkEntry {
         |  CAST(2 * ceil(words / 10.0) AS BIGINT) AS n_removed,
         |  md5(nt) AS reading_md5
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q_quality_gopher" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, nt, string_split(nt, ' ') AS toks,
+        |         CASE WHEN nt = '' THEN 0
+        |              ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, nt, toks, n,
+        |    CASE WHEN n = 0 THEN 0.0
+        |         ELSE CAST(length(nt) - (n - 1) AS DOUBLE) / n END AS mean_len,
+        |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(
+        |      (length(nt) - length(replace(nt, '#', '')))
+        |      + (length(nt) - length(replace(nt, '...', ''))) / 3
+        |      + (length(nt) - length(replace(nt, '…', ''))) AS DOUBLE) / n END AS sym_ratio,
+        |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(
+        |      len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS DOUBLE) / n END AS alpha_ratio,
+        |    len(list_distinct(list_intersect(
+        |      list_transform(toks, x -> lower(x)),
+        |      ['the','and','of','to','a','in','is','that']))) AS n_stop
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS word_count,
+        |  round(mean_len, 4) AS mean_word_len,
+        |  round(sym_ratio, 4) AS symbol_word_ratio,
+        |  round(alpha_ratio, 4) AS alpha_word_ratio,
+        |  CAST(n_stop AS BIGINT) AS n_stopwords,
+        |  (n >= 50 AND n <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+        |   AND sym_ratio <= 0.1 AND alpha_ratio >= 0.8 AND n_stop >= 2) AS passes
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_chunks" ->
       """WITH d AS (

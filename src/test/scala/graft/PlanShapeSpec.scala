@@ -69,6 +69,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoop"), s"q_similar_docs has a nested-loop join:\n$p")
   }
 
+  test("q_chunks is map-only: the only allowed explode is the window fan-out, no join, no aggregation shuffle") {
+    val p = plan(SparkEntry.queries("q_chunks")(spark, sfDir))
+    assert(!p.contains("Join"), s"q_chunks plan has a join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // exchanges: output sort only (+ AQE wrappers); no hash-partitioning
+    // for aggregation may appear
+    assert(!p.contains("hashpartitioning"), s"q_chunks shuffles for aggregation:\n$p")
+  }
+
+  test("q_html_extract and q_layout_order shuffle only on doc-keyed hash/sort exchanges (no cartesian, no nested loop)") {
+    Seq("q_html_extract", "q_layout_order").foreach { name =>
+      val p = plan(SparkEntry.queries(name)(spark, sfDir))
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoop"), s"$name has a nested-loop join:\n$p")
+    }
+  }
+
   test("similarCases at threshold > 0.6 plans an equi-join, never a cross product") {
     import spark.implicits._
     val cases = Seq(

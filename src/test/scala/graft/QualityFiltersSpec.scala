@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.QualityFilters
+
+/** Gopher-rule quality signals: hand-computed expectations per rule,
+  * null/empty tolerance, and the conjunction semantics of `passes`. */
+class QualityFiltersSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-quality-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def signals(text: String): Row = {
+    import spark.implicits._
+    QualityFilters.gopherSignals(Seq((1L, text)).toDF("doc_id", "text"))
+      .select("word_count", "mean_word_len", "symbol_word_ratio",
+        "alpha_word_ratio", "n_stopwords", "passes")
+      .collect()(0)
+  }
+
+  test("a clean long document passes every rule") {
+    val good = ("the quick brown fox jumps over and beyond lazy dogs " * 5).trim
+    val r = signals(good)
+    assert(r.getLong(0) == 50)
+    assert(r.getDouble(1) > 3.0 && r.getDouble(1) < 10.0)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 1.0)
+    assert(r.getLong(4) == 2)            // distinct stopwords: the, and
+    assert(r.getBoolean(5))
+  }
+
+  test("word count bounds: short docs fail") {
+    val r = signals("the and a short doc")
+    assert(r.getLong(0) == 5 && !r.getBoolean(5))
+  }
+
+  test("symbol ratio counts # and ellipses per word") {
+    val r = signals("a# b... c… d e f g h i j")   // 3 symbols / 10 words
+    assert(r.getLong(0) == 10)
+    assert(r.getDouble(2) == 0.3)
+    assert(!r.getBoolean(5))
+  }
+
+  test("alpha-word ratio: numeric tokens drag it down") {
+    val r = signals("12 34 56 78 word")           // 1 alpha / 5 words
+    assert(r.getDouble(3) == 0.2)
+  }
+
+  test("stopword count is distinct types, case-insensitive") {
+    val r = signals("The THE the and AND nothing else here")
+    assert(r.getLong(4) == 2)
+  }
+
+  test("null and empty text yield zero signals, no crash") {
+    import spark.implicits._
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, null: String), Row(2L, "  "))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    val rows = QualityFilters.gopherSignals(df)
+      .select("doc_id", "word_count", "passes").collect()
+    assert(rows.forall(r => r.getLong(1) == 0 && !r.getBoolean(2)))
+  }
+}
