@@ -644,6 +644,14 @@ object SparkEntry {
     // does; the short tail always fits unless it starts a fresh pack) the
     // greedy outcome reduces to pack_id = chunk_id / 3 — which DuckDB
     // states in closed form while Spark runs the real accumulator. -------
+    // Test-set decontamination (GPT-3-style n-gram overlap): in-row
+    // distinct shingles, DF-capped equi-join — skew bounded by maxDf. ----
+    "q_decontaminate" -> ((s, dir) => {
+      graft.pipeline.Decontaminate
+        .contaminated(t(s, dir, "documents"), k = 4, testMod = 97L, maxDf = 50L)
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-rule quality filtering (Rae et al. 2021 A1.1): per-row
     // native expressions only; the oracle replays the identical
     // arithmetic in DuckDB (replace-length symbol counts, list_filter
@@ -1261,6 +1269,30 @@ object SparkEntry {
         |  CAST(2 * ceil(words / 10.0) AS BIGINT) AS n_removed,
         |  md5(nt) AS reading_md5
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, string_split(nt, ' ') AS toks,
+        |         CASE WHEN nt = '' THEN 0
+        |              ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n
+        |  FROM d),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 4 AS INT)), ' ')) AS shingle
+        |  FROM t, unnest(range(0, n - 3)) AS u(i) WHERE n >= 4),
+        |test AS (SELECT doc_id AS test_doc_id, shingle FROM sh WHERE doc_id % 97 = 0),
+        |corp AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+        |keep AS (SELECT shingle FROM corp GROUP BY shingle HAVING count(*) <= 50),
+        |hits AS (
+        |  SELECT c.doc_id, c.shingle, t2.test_doc_id
+        |  FROM corp c JOIN keep k USING (shingle) JOIN test t2 USING (shingle))
+        |SELECT doc_id,
+        |  CAST(count(DISTINCT shingle) AS BIGINT) AS n_hit_shingles,
+        |  CAST(count(DISTINCT test_doc_id) AS BIGINT) AS n_test_docs
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_quality_gopher" ->
       """WITH d AS (

@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Test-set decontamination — n-gram-overlap detection between a held-out
+  * test split and the training corpus (the GPT-3-style published
+  * procedure: a training document is contaminated if it shares an N-token
+  * shingle with any test document; ubiquitous shingles are excluded by a
+  * document-frequency cap, mirroring the "common phrase" carve-out).
+  * Beyond-reference; the build brief's training-pipeline family.
+  *
+  * Scale shape: shingling is IN-ROW (`transform` over window starts +
+  * `array_distinct`, then one explode — per-doc dedup costs no shuffle);
+  * the overlap is an equi-join on the shingle hash. The DF cap both
+  * implements the semantics and bounds the join's skew: no shingle key
+  * carries more than `maxDf` corpus rows, so the hottest hash bucket is
+  * bounded regardless of corpus size — same defense as the capped ngram
+  * dedup (SURVEY §9.10).
+  */
+object Decontaminate {
+
+  /** Per-document DISTINCT k-token shingle hashes, deduped in-row. */
+  def shingles(documents: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"shingle size must be positive, got $k")
+    val nt = trim(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " "))
+    documents
+      .select(col("doc_id").cast("long").as("doc_id"), nt.as("nt"))
+      .filter(col("nt") =!= "")
+      .select(col("doc_id"), split(col("nt"), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("toks")) - k),
+          i => md5(array_join(slice(col("toks"), i + 1, lit(k)), " "))))).as("shingle"))
+  }
+
+  /** Contaminated training documents: share at least one k-shingle (with
+    * corpus document frequency <= maxDf) with any test document. The test
+    * split is `doc_id % testMod == 0`. Returns one row per contaminated
+    * doc: distinct shared shingles and distinct test docs matched. */
+  def contaminated(documents: DataFrame, k: Int, testMod: Long, maxDf: Long): DataFrame = {
+    val sh = shingles(documents, k)
+    val test = sh.filter(col("doc_id") % testMod === 0)
+      .select(col("doc_id").as("test_doc_id"), col("shingle"))
+    val corpus = sh.filter(col("doc_id") % testMod =!= 0)
+    val keep = corpus.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("shingle")
+    corpus
+      .join(keep, Seq("shingle"), "left_semi")
+      .join(test, "shingle")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("shingle")).as("n_hit_shingles"),
+        countDistinct(col("test_doc_id")).as("n_test_docs"))
+  }
+}
