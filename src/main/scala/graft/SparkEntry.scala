@@ -644,6 +644,36 @@ object SparkEntry {
     // does; the short tail always fits unless it starts a fresh pack) the
     // greedy outcome reduces to pack_id = chunk_id / 3 — which DuckDB
     // states in closed form while Spark runs the real accumulator. -------
+    // End-to-end training-data pipeline: Gopher quality gate → exact
+    // dedup (first doc per normalized-text hash) → held-out split +
+    // decontamination → chunk → pack. One summary row; every stage's
+    // count is replayed by the composed DuckDB oracle. The cross joins
+    // are 1-row aggregates (summary assembly, not data joins). ----------
+    "q_training_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val q = graft.pipeline.QualityFilters.gopherSignals(docs).filter(col("passes"))
+      val nt = trim(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " "))
+      val ded = q.withColumn("nthash", md5(nt))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("nthash")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      val contam = graft.pipeline.Decontaminate
+        .contaminated(ded.select(col("doc_id"), col("text")), k = 4, testMod = 97L, maxDf = 50L)
+        .select(col("doc_id"))
+      val train = ded.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .filter(col("doc_id") % 97 =!= 0)
+        .join(contam, Seq("doc_id"), "left_anti")
+      val chunks = graft.pipeline.ChunkJobs.chunk(train, 32, 8)
+      val packs = graft.pipeline.ChunkJobs.pack(s, chunks.as[graft.pipeline.Chunk], 100)
+      docs.agg(count(lit(1)).as("n_input"))
+        .crossJoin(q.agg(count(lit(1)).as("n_quality")))
+        .crossJoin(ded.agg(count(lit(1)).as("n_dedup")))
+        .crossJoin(train.agg(count(lit(1)).as("n_train")))
+        .crossJoin(chunks.agg(count(lit(1)).as("n_chunks")))
+        .crossJoin(packs.toDF().agg(count(lit(1)).as("n_packs")))
+    }),
+
     // Test-set decontamination (GPT-3-style n-gram overlap): in-row
     // distinct shingles, DF-capped equi-join — skew bounded by maxDf. ----
     "q_decontaminate" -> ((s, dir) => {
@@ -1269,6 +1299,61 @@ object SparkEntry {
         |  CAST(2 * ceil(words / 10.0) AS BIGINT) AS n_removed,
         |  md5(nt) AS reading_md5
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // Composed oracle: each stage's SQL is the same as its standalone
+    // query's oracle; chunk/pack counts use the closed forms proven for
+    // size=32/overlap=8/budget=100 (n_chunks = 1+ceil((n-32)/24),
+    // n_packs = ceil(n_chunks/3)).
+    "q_training_pipeline" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, nt, string_split(nt, ' ') AS toks,
+        |         CASE WHEN nt = '' THEN 0
+        |              ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n
+        |  FROM d),
+        |q AS (
+        |  SELECT doc_id, nt, toks, n FROM t
+        |  WHERE n >= 50 AND n <= 100000
+        |    AND CAST(length(nt) - (n - 1) AS DOUBLE) / n BETWEEN 3.0 AND 10.0
+        |    AND CAST((length(nt) - length(replace(nt, '#', '')))
+        |           + (length(nt) - length(replace(nt, '...', ''))) / 3
+        |           + (length(nt) - length(replace(nt, '…', ''))) AS DOUBLE) / n <= 0.1
+        |    AND CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / n >= 0.8
+        |    AND len(list_distinct(list_intersect(
+        |          list_transform(toks, x -> lower(x)),
+        |          ['the','and','of','to','a','in','is','that']))) >= 2),
+        |ded AS (
+        |  SELECT doc_id, nt, toks, n FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(nt) ORDER BY doc_id) AS rn
+        |    FROM q) WHERE rn = 1),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 4 AS INT)), ' ')) AS shingle
+        |  FROM ded, unnest(range(0, n - 3)) AS u(i) WHERE n >= 4),
+        |test AS (SELECT doc_id AS tid, shingle FROM sh WHERE doc_id % 97 = 0),
+        |corp AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+        |keep AS (SELECT shingle FROM corp GROUP BY shingle HAVING count(*) <= 50),
+        |contam AS (
+        |  SELECT DISTINCT c.doc_id
+        |  FROM corp c JOIN keep USING (shingle) JOIN test USING (shingle)),
+        |train AS (
+        |  SELECT * FROM ded
+        |  WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        |ck AS (
+        |  SELECT doc_id,
+        |         CASE WHEN n <= 32 THEN 1
+        |              ELSE 1 + CAST(ceil((n - 32) / 24.0) AS INT) END AS n_chunks
+        |  FROM train)
+        |SELECT
+        |  CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_input,
+        |  CAST((SELECT count(*) FROM q) AS BIGINT) AS n_quality,
+        |  CAST((SELECT count(*) FROM ded) AS BIGINT) AS n_dedup,
+        |  CAST((SELECT count(*) FROM train) AS BIGINT) AS n_train,
+        |  CAST((SELECT coalesce(sum(n_chunks), 0) FROM ck) AS BIGINT) AS n_chunks,
+        |  CAST((SELECT coalesce(sum(CAST(ceil(n_chunks / 3.0) AS INT)), 0) FROM ck) AS BIGINT) AS n_packs""".stripMargin,
 
     "q_decontaminate" ->
       """WITH d AS (
