@@ -694,6 +694,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher repetition rules: duplicate-line fraction (in-row) and the
+    // most-frequent word 2-gram's character coverage (one doc_id-keyed
+    // groupBy + window, deterministic lexicographic tie-break). ----------
+    "q_quality_repetition" -> ((s, dir) => {
+      graft.pipeline.QualityFilters.repetitionSignals(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_chunks" -> ((s, dir) => {
       val c = graft.pipeline.ChunkJobs.chunk(t(s, dir, "documents"), 32, 8)
       c.select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
@@ -1413,6 +1421,48 @@ object SparkEntry {
         |  (n >= 50 AND n <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
         |   AND sym_ratio <= 0.1 AND alpha_ratio >= 0.8 AND n_stop >= 2) AS passes
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_quality_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS nt,
+        |         list_filter(list_transform(
+        |           string_split(coalesce(text, ''), chr(10)), l -> trim(l)),
+        |           l -> l <> '') AS lines
+        |  FROM documents),
+        |dl AS (
+        |  SELECT doc_id, nt,
+        |    CASE WHEN len(lines) = 0 THEN 0.0
+        |         ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+        |    END AS dup_line_frac
+        |  FROM d),
+        |t AS (
+        |  SELECT doc_id, string_split(nt, ' ') AS toks,
+        |         CASE WHEN nt = '' THEN 0
+        |              ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n
+        |  FROM d),
+        |g AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 2 AS INT)), ' ') AS gram
+        |  FROM t, unnest(range(0, n - 1)) AS u(i) WHERE n >= 2),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+        |top AS (
+        |  SELECT doc_id, gram AS top_2gram, cnt AS top_2gram_count FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+        |    FROM c) WHERE rn = 1)
+        |SELECT dl.doc_id,
+        |  round(dl.dup_line_frac, 4) AS dup_line_frac,
+        |  coalesce(top.top_2gram, '') AS top_2gram,
+        |  CAST(coalesce(top.top_2gram_count, 0) AS BIGINT) AS top_2gram_count,
+        |  round(CASE WHEN length(dl.nt) = 0 THEN 0.0
+        |        ELSE CAST(coalesce(top.top_2gram_count * length(top.top_2gram), 0) AS DOUBLE)
+        |             / length(dl.nt) END, 4) AS top_2gram_frac,
+        |  (coalesce(CASE WHEN length(dl.nt) = 0 THEN 0.0
+        |        ELSE CAST(coalesce(top.top_2gram_count * length(top.top_2gram), 0) AS DOUBLE)
+        |             / length(dl.nt) END, 0.0) <= 0.20
+        |   AND dl.dup_line_frac <= 0.30) AS passes_repetition
+        |FROM dl LEFT JOIN top USING (doc_id)
+        |ORDER BY dl.doc_id""".stripMargin,
 
     "q_chunks" ->
       """WITH d AS (

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Gopher-style document quality filtering (Rae et al., "Scaling Language
@@ -56,5 +57,68 @@ object QualityFilters {
           symbolRatio <= 0.1 &&
           alphaRatio >= 0.8 &&
           nStop >= 2)
+  }
+
+  /** Gopher repetition signals (A1.1's duplicate-line and most-frequent
+    * n-gram rules), one row per document:
+    *
+    *   - dup_line_frac: fraction of lines that repeat an earlier line
+    *     (split on '\n'; blank lines ignored);
+    *   - top_2gram / top_2gram_count / top_2gram_frac: the most frequent
+    *     word 2-gram (tie-break: lexicographically smallest, so the result
+    *     is deterministic in any engine), its occurrence count, and the
+    *     fraction of the normalized text's characters its occurrences
+    *     cover (count × gram length / total chars);
+    *   - passes_repetition: top_2gram_frac <= 0.20 (the published 2-gram
+    *     bound) AND dup_line_frac <= 0.30.
+    *
+    * 2-grams are built in-row and exploded once; the count is a
+    * (doc_id, gram) groupBy — shuffles by doc key only, the same scale
+    * shape as the layout furniture removal. */
+  def repetitionSignals(documents: DataFrame): DataFrame = {
+    val nt = trim(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " "))
+    val lines = filter(
+      transform(split(coalesce(col("text"), lit("")), "\n"), l => trim(l)),
+      l => l =!= "")
+    val base = documents.select(
+      col("doc_id").cast("long").as("doc_id"), nt.as("nt"), lines.as("lines"))
+
+    val dupLine = base.select(
+      col("doc_id"), col("nt"),
+      when(size(col("lines")) === 0, lit(0.0))
+        .otherwise((size(col("lines")) - size(array_distinct(col("lines"))))
+          .cast("double") / size(col("lines"))).as("dup_line_frac"))
+
+    val grams = base
+      .filter(col("nt") =!= "")
+      .select(col("doc_id"), split(col("nt"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(col("toks")) - 2),
+          i => array_join(slice(col("toks"), i + 1, lit(2)), " "))).as("gram"))
+    val counts = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("gram"))
+    val top = counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("gram").as("top_2gram"), col("cnt").as("top_2gram_count"))
+
+    dupLine.join(top, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        round(col("dup_line_frac"), 4).as("dup_line_frac"),
+        coalesce(col("top_2gram"), lit("")).as("top_2gram"),
+        coalesce(col("top_2gram_count"), lit(0L)).as("top_2gram_count"),
+        round(
+          when(length(col("nt")) === 0, lit(0.0)).otherwise(
+            coalesce(col("top_2gram_count") * length(col("top_2gram")), lit(0))
+              .cast("double") / length(col("nt"))), 4).as("top_2gram_frac"),
+        (coalesce(
+          when(length(col("nt")) === 0, lit(0.0)).otherwise(
+            coalesce(col("top_2gram_count") * length(col("top_2gram")), lit(0))
+              .cast("double") / length(col("nt"))), lit(0.0)) <= 0.20
+          && col("dup_line_frac") <= 0.30).as("passes_repetition"))
   }
 }

@@ -58,6 +58,43 @@ class QualityFiltersSpec extends AnyFunSuite {
     assert(r.getLong(4) == 2)
   }
 
+  private def repetition(text: String): Row = {
+    import spark.implicits._
+    QualityFilters.repetitionSignals(Seq((1L, text)).toDF("doc_id", "text"))
+      .select("dup_line_frac", "top_2gram", "top_2gram_count",
+        "top_2gram_frac", "passes_repetition")
+      .collect()(0)
+  }
+
+  test("repetition: a looping 2-gram dominates and fails the bound") {
+    val r = repetition("a b a b a b")        // "a b" x3, chars 3*3/11
+    assert(r.getString(1) == "a b" && r.getLong(2) == 3)
+    assert(r.getDouble(3) == math.rint(9.0 / 11 * 10000) / 10000)
+    assert(!r.getBoolean(4))
+  }
+
+  test("repetition: all-unique 2-grams tie-break lexicographically and pass") {
+    // 12 distinct tokens: every 2-gram count is 1, smallest is "aa bb";
+    // coverage 5/35 <= 0.2 so the doc passes
+    val r = repetition("aa bb cc dd ee ff gg hh ii jj kk ll")
+    assert(r.getString(1) == "aa bb" && r.getLong(2) == 1)
+    assert(r.getDouble(3) <= 0.2)
+    assert(r.getBoolean(4))
+  }
+
+  test("repetition: duplicate lines counted, blanks ignored") {
+    val r = repetition("same line\n\nsame line\nother line\n  \nsame line")
+    // 4 non-blank lines, 2 distinct -> dup fraction 0.5
+    assert(r.getDouble(0) == 0.5)
+    assert(!r.getBoolean(4))
+  }
+
+  test("repetition: single-token and empty docs yield empty top gram") {
+    assert(repetition("solo").getString(1) == "")
+    assert(repetition("").getString(1) == "")
+    assert(repetition("").getBoolean(4))
+  }
+
   test("null and empty text yield zero signals, no crash") {
     import spark.implicits._
     val df = spark.createDataFrame(
