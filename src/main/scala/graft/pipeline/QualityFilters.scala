@@ -27,9 +27,10 @@ object QualityFilters {
   val stopwords: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "that")
 
   /** Count non-overlapping occurrences of `sub` via replace-length
-    * arithmetic (identical semantics in DuckDB). */
+    * arithmetic (identical semantics in DuckDB). Literal replace, not
+    * regex — one memchr-style scan per row. */
   private def occurrences(c: Column, sub: String): Column =
-    (length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(sub), ""))) / sub.length
+    (length(c) - length(replace(c, lit(sub), lit("")))) / sub.length
 
   /** Adds the signal columns + `passes` to a documents frame. */
   def gopherSignals(documents: DataFrame): DataFrame = {
@@ -40,10 +41,17 @@ object QualityFilters {
       .otherwise((length(nt) - (n - 1)).cast("double") / n)
     val symbols = occurrences(nt, "#") + occurrences(nt, "...") + occurrences(nt, "…")
     val symbolRatio = when(n === 0, lit(0.0)).otherwise(symbols.cast("double") / n)
-    val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]")))
+    // one regex pass over the whole string instead of a per-token lambda:
+    // each space-delimited token containing a letter yields exactly one
+    // match (the match ends at the token's first letter; the tail can't
+    // re-match without a preceding space)
+    val alphaWords = regexp_count(nt, lit("(?:^| )[^ ]*[A-Za-z]"))
     val alphaRatio = when(n === 0, lit(0.0)).otherwise(alphaWords.cast("double") / n)
-    val nStop = size(array_intersect(
-      transform(toks, w => lower(w)), array(stopwords.map(lit): _*)))
+    // distinct stopword types present, as 8 anchored existence tests —
+    // avoids materializing a lowered token array per row
+    val nStop = stopwords.map(s =>
+      when(nt.rlike("(?i)(?:^| )" + s + "(?: |$)"), 1).otherwise(0))
+      .reduce(_ + _)
 
     documents
       .withColumn("word_count", n.cast("long"))

@@ -106,6 +106,28 @@ class HtmlContentSpec extends AnyFunSuite {
     assert(HtmlContent.extract(cases(11)).exists(_.media_ref == "bare-src-no-quotes.png"))
   }
 
+  test("fuzz: 3000 seeded garbage documents never throw and emit well-formed spans") {
+    val rng = new scala.util.Random(20260817L)
+    val fragments = Array(
+      "<", ">", "&", "amp;", "<p>", "</p>", "<P >", "<script>", "</script>",
+      "<a href='x'>", "</a>", "<!--", "-->", "<![CDATA[", "]]>", "plain text ",
+      "&#65;", "&#xZZ;", "&#x41;", "<img src=", "<img src='u'/>", "'", "\"",
+      "=", "/", "\n", "中文內容 ", "<br/>", "<div", "<div class=\">\">",
+      " ", "<>", "</", "<nav>", "</nav>", "<style>", "</style>", "&nbsp;",
+      "<iframe src=x>", "<h1>", "</h1>", "<li>", "word1 word2 word3 ")
+    (1 to 3000).foreach { _ =>
+      val s = (0 until rng.nextInt(40))
+        .map(_ => fragments(rng.nextInt(fragments.length))).mkString
+      val spans = HtmlContent.extract(s) // must neither throw nor hang
+      spans.zipWithIndex.foreach { case (sp, i) =>
+        assert(sp.offset == i, s"offsets not sequential in: $s")
+        assert(sp.kind == "text" || sp.kind == "media")
+        if (sp.kind == "text") assert(sp.text.nonEmpty && sp.media_ref == "")
+        else assert(sp.media_ref.nonEmpty && sp.text == "")
+      }
+    }
+  }
+
   test("WSDM-2010 decision tree branches") {
     import HtmlContent.numWordsRules
     assert(!numWordsRules(0, 0.0, 10, 0.5, 0))          // curr link density > 1/3
