@@ -31,9 +31,18 @@ def main():
             o = con.sql(oracles[q]).df()
             s = con.sql(f"SELECT * FROM '{out / q}/*.parquet'").df()
             o, s = o[sorted(o.columns)], s[sorted(s.columns)]
-            schema = list(o.columns) == list(s.columns) and \
-                list(map(str, o.dtypes)) == list(map(str, s.dtypes))
-            match = schema and o.equals(s)
+            schema = list(o.columns) == list(s.columns)
+            if schema:
+                # integer WIDTH differences (duckdb int64 vs spark int32)
+                # are tolerated by the driver's value-hash compare —
+                # coerce before the equality check
+                for c in o.columns:
+                    if str(o[c].dtype) != str(s[c].dtype) and \
+                            o[c].dtype.kind == "i" and s[c].dtype.kind == "i":
+                        o[c] = o[c].astype("int64")
+                        s[c] = s[c].astype("int64")
+            match = schema and list(map(str, o.dtypes)) == list(map(str, s.dtypes)) \
+                and o.equals(s)
         except Exception as e:  # noqa: BLE001 - report, don't die
             match = False
             print(f"{q:28s} ERROR {e}")
