@@ -88,7 +88,16 @@ object PageLayout {
 
   /** Furniture normalization: lowercase, digit runs → '#', whitespace
     * collapsed — "Page 3" and "Page 12" both become "page #" so per-page
-    * variable furniture still counts as repeated. */
+    * variable furniture still counts as repeated.
+    *
+    * Whitespace class is the ASCII regex `\s` set, NOT
+    * `Character.isWhitespace`, so this function is bit-equal to the
+    * codegen'd expression form used by [[graft.pipeline.LayoutJob
+    * .removeFurniture]] (`regexp_replace(..., "\\s+", " ")`) — LayoutSpec
+    * asserts the equivalence. */
+  private def isAsciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   def normalizeFurniture(text: String): String = {
     if (text == null) return ""
     val sb = new java.lang.StringBuilder(text.length)
@@ -103,7 +112,7 @@ object PageLayout {
     while (i < text.length) {
       val c = text.charAt(i)
       if (c >= '0' && c <= '9') pendingHash = true
-      else if (Character.isWhitespace(c)) {
+      else if (isAsciiWs(c)) {
         if (pendingHash) { emit('#'); pendingHash = false }
         pendingSpace = true
       } else {

@@ -63,6 +63,24 @@ class LayoutSpec extends AnyFunSuite {
     assert(PageLayout.normalizeFurniture(null) == "")
   }
 
+  test("furniture normalization: native expression equals the pure function") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lower, regexp_replace, trim}
+    val rng = new scala.util.Random(7L)
+    val alphabet = "aA1 #\t\n..页Z9-"
+    val samples = Seq("Page 12 of 345", "  HCA   2024\n", "A1B2", "",
+      "no digits here", "3 4 5", "tab\tsep 9", "12 34") ++
+      (1 to 300).map { _ =>
+        (0 until rng.nextInt(24)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+      }
+    val expr = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[0-9]+", "#"), "\\s+", " "))
+    samples.toDF("text").select(col("text"), expr.as("e")).collect().foreach { r =>
+      assert(r.getString(1) == PageLayout.normalizeFurniture(r.getString(0)),
+        s"diverged on '${r.getString(0)}'")
+    }
+  }
+
   test("distributed job: furniture removed, reading order equals word order") {
     import spark.implicits._
     val text = (1 to 23).map(i => s"tok$i").mkString(" ")  // 23 words -> 3 pages
