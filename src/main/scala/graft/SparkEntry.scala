@@ -1275,7 +1275,7 @@ object SparkEntry {
     // (it sits in <article>, not a negative container).
     "q_html_extract" ->
       """WITH d AS (
-        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+        |  SELECT doc_id, trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS nt
         |  FROM documents),
         |w AS (
         |  SELECT doc_id, nt,
@@ -1295,7 +1295,7 @@ object SparkEntry {
     // Spark-side comment), so the oracle is pure text arithmetic.
     "q_layout_order" ->
       """WITH d AS (
-        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+        |  SELECT doc_id, trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS nt
         |  FROM documents),
         |w AS (
         |  SELECT doc_id, nt,
@@ -1365,7 +1365,7 @@ object SparkEntry {
 
     "q_decontaminate" ->
       """WITH d AS (
-        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+        |  SELECT doc_id, trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS nt
         |  FROM documents),
         |t AS (
         |  SELECT doc_id, string_split(nt, ' ') AS toks,
@@ -1466,7 +1466,7 @@ object SparkEntry {
 
     "q_chunks" ->
       """WITH d AS (
-        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+        |  SELECT doc_id, trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS nt
         |  FROM documents),
         |t AS (
         |  SELECT doc_id, string_split(nt, ' ') AS toks,
@@ -1488,7 +1488,7 @@ object SparkEntry {
     // Spark-side comment for the fit argument).
     "q_chunk_pack" ->
       """WITH d AS (
-        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+        |  SELECT doc_id, trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS nt
         |  FROM documents),
         |t AS (
         |  SELECT doc_id,

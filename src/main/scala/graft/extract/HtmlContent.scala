@@ -248,13 +248,22 @@ object HtmlContent {
     if (decoded == null) ("&", i + 1) else (decoded, semi + 1)
   }
 
+  /** ASCII whitespace only — the regex `\s` class, matching both the
+    * DuckDB oracle's `regexp_replace(text, '\s+', ' ')` and every other
+    * normalization in the repo (PageLayout.isAsciiWs, q_token_count's
+    * ws_tokens). Unicode spaces (U+2028, U+3000) and the C0 separators
+    * U+001C-001F are deliberately NOT whitespace here, so Spark and
+    * oracle agree on all inputs, not just ASCII testdata. */
+  private def isAsciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   private def normalizeWs(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var pendingSpace = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (Character.isWhitespace(c)) pendingSpace = true
+      if (isAsciiWs(c)) pendingSpace = true
       else {
         if (pendingSpace && sb.length > 0) sb.append(' ')
         pendingSpace = false

@@ -10,6 +10,10 @@ final case class Chunk(doc_id: Long, chunk_id: Int, n_tokens: Int, text: String)
   * filled up to a token budget. */
 final case class Pack(doc_id: Long, pack_id: Int, n_chunks: Int, n_tokens: Int)
 
+/** The slice of [[Chunk]] that packing actually reads — `text` is never
+  * consulted, so it must not ride through the pack shuffle. */
+private[pipeline] final case class ChunkMeta(doc_id: Long, chunk_id: Int, n_tokens: Int)
+
 /** Training-data chunking and sequence packing — the step between a
   * cleaned corpus and an LLM data loader (beyond-reference; the build
   * brief's large-scale-training-pipeline family, alongside dedup/ANN).
@@ -20,9 +24,14 @@ final case class Pack(doc_id: Long, pack_id: Int, n_chunks: Int, n_tokens: Int)
   * 100 TB the chunker adds zero data movement beyond the scan; row count
   * fans out by ~n_tokens/stride.
   *
-  * Packing shuffles once on doc_id (the packing key): greedy first-fit in
-  * chunk order inside each document. State per group is one running
-  * counter — the iterator streams; only the emitted pack rows accumulate.
+  * Packing shuffles once on doc_id (the packing key), and ONLY the chunk
+  * metadata `(doc_id, chunk_id, n_tokens)` enters that shuffle — packing
+  * never reads `Chunk.text`, so the text is projected away before the
+  * exchange and a giant document costs ~12 bytes per chunk in the task
+  * heap, independent of its text size. Inside each group the chunks ARE
+  * materialized and sorted (`flatMapGroups` guarantees no ordering), but
+  * that buffer is the slim metadata, O(chunks) small structs, not O(text).
+  * Greedy first-fit then runs in chunk order with one running counter.
   * A chunk larger than the budget gets a pack of its own (never dropped,
   * never silently truncated).
   */
@@ -37,7 +46,7 @@ object ChunkJobs {
     require(size > 0 && overlap >= 0 && overlap < size,
       s"need 0 <= overlap < size, got size=$size overlap=$overlap")
     val stride = size - overlap
-    val nt = trim(regexp_replace(col("text"), "\\s+", " "))
+    val nt = trim(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " "))
     val withToks = documents
       .select(col("doc_id").cast("long").as("doc_id"), nt.as("nt"))
       .filter(col("nt") =!= "")
@@ -62,7 +71,11 @@ object ChunkJobs {
   def pack(spark: SparkSession, chunks: Dataset[Chunk], budget: Int): Dataset[Pack] = {
     import spark.implicits._
     require(budget > 0, s"budget must be positive, got $budget")
-    chunks.groupByKey(_.doc_id).flatMapGroups { (docId: Long, it: Iterator[Chunk]) =>
+    // Project the text away BEFORE the groupByKey: the exchange and the
+    // per-group buffer carry 12-byte metadata rows only.
+    val meta = chunks
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens")).as[ChunkMeta]
+    meta.groupByKey(_.doc_id).flatMapGroups { (docId: Long, it: Iterator[ChunkMeta]) =>
       val sorted = it.toArray.sortBy(_.chunk_id)
       val out = Seq.newBuilder[Pack]
       var packId = 0

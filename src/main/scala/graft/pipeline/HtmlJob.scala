@@ -74,7 +74,10 @@ object HtmlJob {
   /** documents table → synthetic HTML pages (deterministic, no RNG). */
   def wrapCorpus(spark: SparkSession, documents: DataFrame): Dataset[HtmlDoc] = {
     import spark.implicits._
-    documents.select(col("doc_id").cast("long"), col("text"))
+    // NULL text reads as the empty document (matches the oracles'
+    // coalesce(text, '')) — without this the Scala interpolation in
+    // chromePage would render a literal "null".
+    documents.select(col("doc_id").cast("long"), coalesce(col("text"), lit("")))
       .as[(Long, String)]
       .map { case (id, text) => HtmlDoc(id, chromePage(id, text)) }
   }

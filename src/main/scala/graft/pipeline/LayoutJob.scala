@@ -39,7 +39,7 @@ object LayoutJob {
     */
   def synthesizeBlocks(spark: SparkSession, documents: DataFrame): Dataset[PageBlock] = {
     import spark.implicits._
-    val nt = trim(regexp_replace(col("text"), "\\s+", " "))
+    val nt = trim(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " "))
     val words = documents
       .select(col("doc_id").cast("long").as("doc_id"), nt.as("nt"))
       .filter(col("nt") =!= "")
