@@ -49,7 +49,8 @@ object Bench {
       "q_similar_docs", "q_events_hourly", "q_dedup_exact", "q_dedup_minhash",
       "q_dedup_minhash_verified", "q_dedup_components", "q_dedup_ngram_capped",
       "q_dedup_embedding", "q_dedup_simhash", "q_ann_cosine", "q_ann_lsh_topk",
-      "q_ann_quantized", "q_fingerprint", "q_quality_score",
+      "q_ann_quantized", "q_ann_lsh_quantized", "q_ann_ivf_quantized",
+      "q_fingerprint", "q_quality_score",
       "q_sample_stratified", "q_html_extract", "q_layout_order",
       "q_chunks", "q_chunk_pack", "q_quality_gopher", "q_quality_repetition",
       "q_decontaminate", "q_training_pipeline")
@@ -71,9 +72,13 @@ object Bench {
     // reused intermediates, and Spark's cache manager would otherwise hand
     // rep 2 the previous rep's materialized tables (measuring a cache read,
     // not the pipeline).
-    val results = headline.map { name =>
+    // Both rep times are RECORDED (round-3 verdict #4): `queries` carries
+    // the min (steady state), `query_reps` the raw [rep1, rep2] — a future
+    // reader can tell host-contention burst noise (one rep spiking 3-5x)
+    // from a real regression (both reps slow) without re-running the bench.
+    val results: Seq[(String, Seq[Double])] = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      val t = try {
+      val reps = try {
         // one untimed warm rep at the TARGET sf: the sf0.001 pass warms
         // codegen/plan shapes but not the target files' page cache or the
         // scan-side decompression JIT, which was costing the first timed
@@ -81,14 +86,13 @@ object Bench {
         graft.pipeline.DedupJobs.releaseCached()
         spark.catalog.clearCache()
         noop(fn(spark, sfDir))
-        val reps = (1 to 2).map { _ =>
+        (1 to 2).map { _ =>
           graft.pipeline.DedupJobs.releaseCached()
           spark.catalog.clearCache()
           timeIt(noop(fn(spark, sfDir)))._2
-        }
-        reps.min
-      } catch { case _: Throwable => -1.0 }
-      name -> t
+        }.toSeq
+      } catch { case _: Throwable => Seq(-1.0) }
+      name -> reps
     }
     graft.pipeline.DedupJobs.releaseCached()
     spark.catalog.clearCache()
@@ -128,13 +132,17 @@ object Bench {
     val spansPerSec = totalSpans / math.max(tExtract, 1e-9)
     val charsPerSec = totalBytes / math.max(tExtract, 1e-9)
 
-    val queryTimes = results :+ ("extract_records" -> tExtract) :+
+    val queryTimes = results.map { case (k, reps) => k -> reps.min } :+
+      ("extract_records" -> tExtract) :+
       ("extract_spans" -> tSpans) :+ ("extract_warmup" -> warm)
     val qs = queryTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val repsJson = results.map { case (k, reps) =>
+      "\"" + k + "\":" + reps.map(r => f"$r%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extraction":{"docs":$totalDocs,"spans":$totalSpans,"chars":$totalBytes,"docs_per_sec":$docsPerSec%.1f,"spans_per_sec":$spansPerSec%.1f,"chars_per_sec":$charsPerSec%.1f},"cpus":$cpus}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_reps":$repsJson,"sf":"$sfDir","extraction":{"docs":$totalDocs,"spans":$totalSpans,"chars":$totalBytes,"docs_per_sec":$docsPerSec%.1f,"spans_per_sec":$spansPerSec%.1f,"chars_per_sec":$charsPerSec%.1f},"cpus":$cpus}""")
     spark.stop()
   }
 }

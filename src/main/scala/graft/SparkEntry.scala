@@ -408,12 +408,31 @@ object SparkEntry {
     }),
 
     "q_ann_quantized" -> ((s, dir) => {
-      // Top-k over int8-quantized (max-abs) embeddings: 1 byte/dim instead
-      // of 4 — the memory-bound ANN path at 100 TB. Quantize→dequantize→
-      // rank, all per-row builtins; recall vs the exact ranking is
-      // asserted in AnnSpec.
+      // All-pairs top-k over int8-quantized (max-abs) embeddings — the
+      // labeled brute-force BASELINE for quantization recall. The shipped
+      // representation is the int8 struct (1 byte/dim); reconstruction
+      // happens probe-side. The scale paths are q_ann_lsh_quantized /
+      // q_ann_ivf_quantized below.
       val e = t(s, dir, "embeddings")
       graft.pipeline.AnnJobs.quantizedTopK(e, col("vec_id") < 10, k = 5)
+    }),
+
+    "q_ann_lsh_quantized" -> ((s, dir) => {
+      // int8-quantized candidates ranked WITHIN sign-LSH buckets: the
+      // memory-bound ANN path with bucketed (equi-join) candidate
+      // generation — 1 byte/dim through the join, exact cosine on
+      // probe-side reconstructed vectors. Fully DuckDB-expressible.
+      val e = t(s, dir, "embeddings")
+      graft.pipeline.AnnJobs.lshQuantizedTopK(e, col("vec_id") < 10, k = 3)
+    }),
+
+    "q_ann_ivf_quantized" -> ((s, dir) => {
+      // int8 candidates within probed IVF cells — the combined scale path
+      // a 100-TB deployment runs (rows-only check: KMeans training is not
+      // DuckDB-expressible; AnnSpec asserts recall vs brute force).
+      val e = t(s, dir, "embeddings")
+      graft.pipeline.AnnJobs.ivfQuantizedTopK(s, e, col("vec_id") < 10,
+        k = 5, nlist = 8, nprobe = 2)
     }),
 
     // Text analysis --------------------------------------------------------
@@ -650,27 +669,46 @@ object SparkEntry {
     // count is replayed by the composed DuckDB oracle. The cross joins
     // are 1-row aggregates (summary assembly, not data joins). ----------
     "q_training_pipeline" -> ((s, dir) => {
-      import s.implicits._
+      // Every stage boundary whose output is consumed MORE THAN ONCE is
+      // materialized exactly once (round-3 verdict #2): Spark re-executes a
+      // DataFrame's full lineage per consumer, so without the checkpoints
+      // the six summary aggregates would re-run the gopher filter ~5x, the
+      // dedup window ~4x and the decontamination join ~2x. localCheckpoint
+      // here = persist-to-executors in local mode; a real 100-TB run would
+      // use reliable checkpoint()/an intermediate table for the same cut.
+      // Checkpoint blocks are freed by the ContextCleaner once the
+      // DataFrames go out of scope.
       val docs = t(s, dir, "documents")
       val q = graft.pipeline.QualityFilters.gopherSignals(docs).filter(col("passes"))
       val nt = trim(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " "))
-      val ded = q.withColumn("nthash", md5(nt))
+      // gopher + dedup window in ONE pass: keep the window rank as a column
+      // so n_quality (all rows) and n_dedup (rn = 1) read the same
+      // materialization instead of re-filtering the corpus per count.
+      val dedAll = q.withColumn("nthash", md5(nt))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("nthash")).orderBy(col("doc_id"))))
-        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("text"), col("rn"))
+        .localCheckpoint()
+      val ded = dedAll.filter(col("rn") === 1)
       val contam = graft.pipeline.Decontaminate
         .contaminated(ded.select(col("doc_id"), col("text")), k = 4, testMod = 97L, maxDf = 50L)
         .select(col("doc_id"))
       val train = ded.select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .filter(col("doc_id") % 97 =!= 0)
         .join(contam, Seq("doc_id"), "left_anti")
-      val chunks = graft.pipeline.ChunkJobs.chunk(train, 32, 8)
-      val packs = graft.pipeline.ChunkJobs.pack(s, chunks.as[graft.pipeline.Chunk], 100)
+        .localCheckpoint()
+      // chunk metadata only: packing never reads chunk text (ChunkJobs),
+      // and neither does the n_chunks count.
+      val chunkMeta = graft.pipeline.ChunkJobs.chunk(train, 32, 8)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"))
+        .localCheckpoint()
+      val packs = graft.pipeline.ChunkJobs.packMeta(s, chunkMeta, 100)
       docs.agg(count(lit(1)).as("n_input"))
-        .crossJoin(q.agg(count(lit(1)).as("n_quality")))
-        .crossJoin(ded.agg(count(lit(1)).as("n_dedup")))
+        .crossJoin(dedAll.agg(
+          count(lit(1)).as("n_quality"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_dedup")))
         .crossJoin(train.agg(count(lit(1)).as("n_train")))
-        .crossJoin(chunks.agg(count(lit(1)).as("n_chunks")))
+        .crossJoin(chunkMeta.agg(count(lit(1)).as("n_chunks")))
         .crossJoin(packs.toDF().agg(count(lit(1)).as("n_packs")))
     }),
 
@@ -1158,6 +1196,43 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
         |  FROM scored)
         |SELECT q_id, n_id, sim, rn FROM ranked WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin,
+
+    // Mirrors AnnJobs.lshQuantizedTopK: sign-LSH bucket on the ORIGINAL
+    // vector (same keying as q_ann_lsh_topk), int8 quantize→dequantize of
+    // the candidate payload (same formulation as q_ann_quantized), exact
+    // cosine top-3 within the bucket.
+    "q_ann_lsh_quantized" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END +
+        |     CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END +
+        |     CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END +
+        |     CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END +
+        |     CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END +
+        |     CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
+        |  FROM embeddings),
+        |deq AS (
+        |  SELECT vec_id, bucket,
+        |         CASE WHEN maxabs = 0
+        |              THEN list_transform(emb, x -> CAST(0.0 AS DOUBLE))
+        |              ELSE list_transform(emb, x -> round(x * 127.0 / maxabs) * maxabs / 127.0)
+        |         END AS demb
+        |  FROM base),
+        |q AS (SELECT vec_id AS q_id, bucket, demb AS q_emb FROM deq WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS n_id, bucket, demb AS n_emb FROM deq),
+        |scored AS (
+        |  SELECT q_id, q.bucket AS bucket, n_id,
+        |         round(list_cosine_similarity(q_emb, n_emb), 4) AS sim
+        |  FROM q JOIN c ON q.bucket = c.bucket AND q_id <> n_id),
+        |ranked AS (
+        |  SELECT q_id, bucket, n_id, sim,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |  FROM scored)
+        |SELECT q_id, bucket, n_id, sim, rn FROM ranked WHERE rn <= 3
         |ORDER BY q_id, rn""".stripMargin,
 
     // Mirrors SamplingJobs.stratifiedSample(en→0.10, zh→0.50, default 0.25):

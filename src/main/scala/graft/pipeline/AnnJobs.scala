@@ -147,21 +147,91 @@ object AnnJobs {
         q.cast("double") * maxabs / lit(127.0)))
   }
 
-  /** Brute-force top-k over int8-DEQUANTIZED vectors — the memory-bound
-    * ANN path: candidates are ranked on reconstructed vectors, so the
-    * candidate table ships/holds 1 byte per dimension. Same rounding and
-    * tiebreak as [[bruteForceTopK]], so recall vs the exact ranking is
-    * directly measurable (AnnSpec). */
+  /** All-pairs top-k over int8-quantized vectors — the labeled BRUTE-FORCE
+    * BASELINE for measuring quantization recall, exactly as
+    * [[bruteForceTopK]] is the baseline for the bucketed paths; the scale
+    * paths that a 100-TB deployment runs are [[lshQuantizedTopK]] and
+    * [[ivfQuantizedTopK]] below (equi-join on bucket/cell, never all-pairs).
+    *
+    * What crosses the broadcast here is the int8 representation itself —
+    * `struct(maxabs double, q array<tinyint>)`, 1 byte/dim plus one scale —
+    * and reconstruction to doubles happens on the PROBE side, in the
+    * projection above the join, so the memory rationale of quantization
+    * holds end-to-end (Catalyst does not push non-pruning projections below
+    * a join; AnnPlanSpec pins the broadcast side's `array<tinyint>`
+    * schema). Same rounding and tiebreak as [[bruteForceTopK]], so recall
+    * vs the exact ranking is directly measurable (AnnSpec). */
   def quantizedTopK(embeddings: DataFrame, queryIds: Column,
                     k: Int = 5): DataFrame = {
-    val deq = embeddings.withColumn("demb",
-      int8Dequantize(int8Quantize(col("embedding"))))
-    val q = deq.filter(queryIds)
-      .select(col("vec_id").as("q_id"), col("demb").as("q_emb"))
-    val c = deq.select(col("vec_id").as("n_id"), col("demb").as("n_emb"))
+    val qz = embeddings.select(col("vec_id"), int8Quantize(col("embedding")).as("qs"))
+    val q = qz.filter(queryIds)
+      .select(col("vec_id").as("q_id"), int8Dequantize(col("qs")).as("q_emb"))
+    val c = qz.select(col("vec_id").as("n_id"), col("qs").as("n_qs"))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("n_id"))
     q.join(broadcast(c), col("q_id") =!= col("n_id"))
+      .withColumn("n_emb", int8Dequantize(col("n_qs")))
       .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Sign-LSH bucket of the first `nBits` dimensions — identical to the
+    * oracle-checked q_ann_lsh_bucket/q_ann_lsh_topk keying, factored here
+    * so the quantized path composes with the same candidate generation. */
+  def signBucket(emb: Column, nBits: Int = 8): Column =
+    (1 to nBits).map(i =>
+      when(element_at(emb, i) > 0, 1 << (i - 1)).otherwise(0)).reduce(_ + _)
+
+  /** The quantized SCALE path over LSH candidates: bucket on the sign bits
+    * of the original vector (computed at index time), candidates carry only
+    * `(n_id, bucket, int8 struct)` — 1 byte/dim through the bucket
+    * equi-join — and are reconstructed on the probe side for the exact
+    * cosine ranking within the bucket. Same bucket/rounding/tiebreak as
+    * q_ann_lsh_topk, so the full pipeline is DuckDB-expressible and
+    * oracle-checked (q_ann_lsh_quantized). */
+  def lshQuantizedTopK(embeddings: DataFrame, queryIds: Column,
+                       k: Int = 3, nBits: Int = 8): DataFrame = {
+    val qz = embeddings.select(col("vec_id"),
+      signBucket(col("embedding"), nBits).as("bucket"),
+      int8Quantize(col("embedding")).as("qs"))
+    val q = qz.filter(queryIds)
+      .select(col("vec_id").as("q_id"), col("bucket"),
+        int8Dequantize(col("qs")).as("q_emb"))
+    val c = qz.select(col("vec_id").as("n_id"), col("bucket"), col("qs").as("n_qs"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("n_id"))
+    q.join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("n_emb", int8Dequantize(col("n_qs")))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("bucket"), col("n_id"), col("sim"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** The quantized scale path over IVF candidates — what a real 100-TB
+    * deployment runs: cell assignment and probing use the original vectors
+    * (index-time work, bounded KMeans sample), while the corpus payload
+    * that flows through the cell equi-join is the int8 struct, 1 byte/dim.
+    * Ranking reconstructs doubles on the probe side. Covered rows-only
+    * (KMeans is not DuckDB-expressible) + AnnSpec recall vs brute force. */
+  def ivfQuantizedTopK(spark: SparkSession, embeddings: DataFrame,
+                       queryIds: Column, k: Int = 5, nlist: Int = 8,
+                       nprobe: Int = 2, maxTrainRows: Long = 100000L): DataFrame = {
+    val (assigned, centroids) = assign(spark, embeddings, nlist, maxTrainRows = maxTrainRows)
+    val qz = assigned.withColumn("qs", int8Quantize(col("embedding")))
+    val queries = qz.filter(queryIds)
+      .select(col("vec_id").as("q_id"), int8Dequantize(col("qs")).as("q_emb"),
+        explode(nearestCells(col("embedding"), centroids, nprobe)).as("cell"))
+    val candidates = qz.select(col("vec_id").as("n_id"), col("qs").as("n_qs"), col("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("n_id"))
+    queries.join(candidates, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("n_emb", int8Dequantize(col("n_qs")))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .dropDuplicates("q_id", "n_id") // a candidate may appear via 2 cells
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("n_id"), col("sim"), col("rn"))

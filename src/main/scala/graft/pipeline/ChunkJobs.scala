@@ -68,7 +68,13 @@ object ChunkJobs {
 
   /** Greedy first-fit packing of a document's chunks (in chunk order) into
     * sequences of at most `budget` tokens. */
-  def pack(spark: SparkSession, chunks: Dataset[Chunk], budget: Int): Dataset[Pack] = {
+  def pack(spark: SparkSession, chunks: Dataset[Chunk], budget: Int): Dataset[Pack] =
+    packMeta(spark, chunks.toDF(), budget)
+
+  /** Packing over bare chunk metadata `(doc_id, chunk_id, n_tokens)` — the
+    * entry point when the caller has already projected the text away (e.g.
+    * a checkpointed chunk-metadata table in the composed pipeline). */
+  def packMeta(spark: SparkSession, chunks: DataFrame, budget: Int): Dataset[Pack] = {
     import spark.implicits._
     require(budget > 0, s"budget must be positive, got $budget")
     // Project the text away BEFORE the groupByKey: the exchange and the

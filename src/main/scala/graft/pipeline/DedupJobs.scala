@@ -42,9 +42,16 @@ object DedupJobs {
     * were really heap-EXPANSION GC pauses — see build.sbt Xms note — and
     * with a fixed heap the barrier's extra pass only cost time.) */
   private def cache(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cachedIntermediates.add(p)
-    p
+    // Plan-identical persists (two pipelines sharing an intermediate)
+    // would each make CacheManager log a benign "Asked to cache already
+    // cached data" WARN; if this exact plan is already cached, reuse it —
+    // the first caller owns the entry in cachedIntermediates.
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cachedIntermediates.add(p)
+      p
+    }
   }
 
   /** Unpersist every intermediate persisted by dedup pipelines since the
@@ -197,17 +204,21 @@ object DedupJobs {
         .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("ncomp")).as("nmin"))
         .select(col("src").as("id"), col("nmin"))
+      // carry the incoming label as `old` so convergence is decided from
+      // THIS round's materialization — no third per-round join back onto
+      // the previous labels (round-3 verdict #5: 2 jobs per round, the
+      // checkpoint job plus a cached-scan count)
       val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
       // pointer jump: follow the label one hop (comp(v) := comp(comp(v)))
       val hop = stepped.select(col("id").as("jid"), col("comp").as("jcomp"))
       val jumped = stepped.join(hop, stepped("comp") === hop("jid"), "left")
-        .select(stepped("id"), coalesce(col("jcomp"), stepped("comp")).as("comp"))
+        .select(stepped("id"), stepped("old"),
+          coalesce(col("jcomp"), stepped("comp")).as("comp"))
         .localCheckpoint()
-      changed = jumped.join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
-        .filter(col("comp") < col("old")).count()
-      labels = jumped
+      changed = jumped.filter(col("comp") < col("old")).count()
+      labels = jumped.select(col("id"), col("comp"))
       iter += 1
     }
     require(changed == 0,

@@ -98,4 +98,51 @@ class AnnSpec extends AnyFunSuite {
       .sum / brute.size
     assert(recall >= 0.8, f"int8 top-5 recall vs exact: $recall%.2f")
   }
+
+  test("ivfQuantizedTopK at nprobe = nlist equals the all-pairs quantized ranking") {
+    // With every cell probed the candidate set is the full corpus, so the
+    // bucketed int8 path must reproduce the quantized brute-force baseline
+    // exactly (same dequantize math, same 4dp rounding, same id tiebreak).
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val isQuery = col("vec_id") < 20
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().groupBy(_.getAs[Long]("q_id"))
+        .view.mapValues(_.sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("n_id")).toSeq).toMap
+    val base = sets(AnnJobs.quantizedTopK(emb, isQuery, k = 5))
+    val ivf = sets(AnnJobs.ivfQuantizedTopK(spark, emb, isQuery, k = 5,
+      nlist = 8, nprobe = 8))
+    assert(ivf == base, "full-probe IVF-quantized must equal the quantized baseline")
+  }
+
+  test("lshQuantizedTopK keeps high recall vs the exact (unquantized) LSH ranking") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val isQuery = col("vec_id") < 20
+    // rebuild the exact (unquantized) within-bucket ranking for the same query set
+    val bucket = AnnJobs.signBucket(col("embedding"))
+    val withB = emb.withColumn("bucket", bucket)
+    val q = withB.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val c = withB.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("bucket"))
+    val dotExpr = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(desc("sim"), col("n_id"))
+    val exactTopK = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(
+        dotExpr(col("q_emb"), col("n_emb")) /
+          (sqrt(dotExpr(col("q_emb"), col("q_emb"))) * sqrt(dotExpr(col("n_emb"), col("n_emb")))), 4))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= 3)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getAs[Long]("q_id"))
+        .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+    val ex = sets(exactTopK)
+    val quant = sets(AnnJobs.lshQuantizedTopK(emb, isQuery, k = 3))
+    assert(quant.keySet == ex.keySet)
+    val recall = ex.keys.toSeq
+      .map(k => (quant(k) intersect ex(k)).size.toDouble / ex(k).size)
+      .sum / ex.size
+    assert(recall >= 0.8, f"LSH int8 top-3 recall vs exact LSH: $recall%.2f")
+  }
 }
