@@ -140,6 +140,51 @@ class HtmlContentSpec extends AnyFunSuite {
     assert(numWordsRules(0, 0.6, 41, 0.0, 0))           // linky prev, long curr
   }
 
+  // ---- published-rule invariants (round-3 verdict #8): properties the
+  // WSDM-2010 tree and the structural overrides must satisfy on ALL inputs,
+  // not just the ASCII corpus the oracle sees.
+
+  test("property: classifier is monotone non-increasing in link density") {
+    // Raising either the current or the previous block's link density can
+    // only demote content to boilerplate, never promote — the boilerplate
+    // signal is links, so more links must never rescue a block.
+    import HtmlContent.numWordsRules
+    val r = new scala.util.Random(20260419L)
+    for (_ <- 1 to 2000) {
+      val pw = r.nextInt(60); val cw = r.nextInt(60); val nw = r.nextInt(60)
+      val dLo = r.nextDouble(); val dHi = dLo + r.nextDouble() * (1.0 - dLo)
+      val base = r.nextDouble()
+      // curr axis: content at dHi implies content at dLo
+      if (numWordsRules(pw, base, cw, dHi, nw))
+        assert(numWordsRules(pw, base, cw, dLo, nw),
+          s"curr-density promotion: ($pw,$base,$cw,$dLo->$dHi,$nw)")
+      // prev axis: content with a linkier prev implies content with a cleaner prev
+      if (numWordsRules(pw, dHi, cw, base, nw))
+        assert(numWordsRules(pw, dLo, cw, base, nw),
+          s"prev-density promotion: ($pw,$dLo->$dHi,$cw,$base,$nw)")
+    }
+  }
+
+  test("property: negative-container blocks are never classified content") {
+    // nav/aside/header/footer/form blocks are structurally boilerplate no
+    // matter how wordy — including via the heading-promotion override.
+    import HtmlContent.{TextBlock, Ev}
+    val r = new scala.util.Random(20260420L)
+    for (_ <- 1 to 500) {
+      val n = 1 + r.nextInt(12)
+      val evs: Vector[Ev] = (0 until n).map { _ =>
+        val w = r.nextInt(80)
+        TextBlock("w " * w, w, r.nextDouble() * 0.3,
+          negative = r.nextBoolean(), heading = r.nextBoolean()): Ev
+      }.toVector
+      val flags = HtmlContent.classify(evs)
+      evs.collect { case tb: TextBlock => tb }.zip(flags).foreach {
+        case (tb, flag) => if (tb.negative) assert(!flag,
+          s"negative block classified content: $tb in $evs")
+      }
+    }
+  }
+
   test("Spark job: corpus wrap + distributed extraction matches local") {
     import spark.implicits._
     val docs = Seq(

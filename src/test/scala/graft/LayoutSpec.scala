@@ -112,4 +112,44 @@ class LayoutSpec extends AnyFunSuite {
     assert(!kept.exists(_.startsWith("page "))) // repeated footer: removed
     assert(content.forall(b => kept.contains(b.text)))
   }
+
+  // ---- published-rule invariants (round-3 verdict #8): the XY-cut output
+  // must depend on page GEOMETRY only, never on the order blocks happen to
+  // arrive from the upstream scan — on a cluster that order is a shuffle
+  // artifact, so order-sensitivity would make reading order nondeterministic.
+
+  private def randomPage(r: scala.util.Random): IndexedSeq[Blk] = {
+    val n = 1 + r.nextInt(14)
+    (0 until n).map { i =>
+      // a mix of grid-ish and arbitrary placements so some pages cut cleanly,
+      // some fall back — both paths must be order-independent
+      if (r.nextBoolean())
+        Blk(50.0 + r.nextInt(3) * 250.0, 60.0 + r.nextInt(5) * 120.0,
+          200.0, 100.0, i)
+      else
+        Blk(r.nextDouble() * 500.0, r.nextDouble() * 800.0,
+          10.0 + r.nextDouble() * 300.0, 10.0 + r.nextDouble() * 200.0, i)
+    }
+  }
+
+  test("property: xyCut is invariant to block input order (500 seeded pages)") {
+    val r = new scala.util.Random(20260417L)
+    for (_ <- 1 to 500) {
+      val page = randomPage(r)
+      val expect = PageLayout.xyCut(page)
+      val shuffled = r.shuffle(page)
+      assert(PageLayout.xyCut(shuffled) == expect,
+        s"reading order changed under input permutation: $page vs $shuffled")
+    }
+  }
+
+  test("property: xyCut emits every block exactly once (no drop, no dup)") {
+    val r = new scala.util.Random(20260418L)
+    for (_ <- 1 to 500) {
+      val page = randomPage(r)
+      val order = PageLayout.xyCut(page)
+      assert(order.sorted == page.map(_.idx).sorted,
+        s"xyCut lost or duplicated blocks on $page -> $order")
+    }
+  }
 }

@@ -31,14 +31,18 @@ class SkewSpec extends AnyFunSuite {
     .getOrCreate()
 
   /** 60 one-language docs; 54 (90%) contain the same hot phrase plus a
-    * per-doc unique tail, 6 are fully unique. */
+    * per-doc unique tail, 6 are pairwise DISJOINT (single-letter bodies, a
+    * different letter each — they must share no shingle with each other or
+    * with the hot phrase, or they'd form their own below-cap near-dup
+    * cluster and this spec would no longer isolate the hot bucket). */
   private def hotCorpus = {
     import spark.implicits._
     val hot = "the quick brown fox jumps over the lazy dog again and again"
     (0 until 60).map { i =>
-      val filler = f"q$i%03dw"
-      val text = if (i % 10 == 5) s"totally unique document body number $filler only"
-                 else s"$hot $filler"
+      val text = if (i % 10 == 5) {
+        val c = ('g' + i / 10).toChar.toString
+        s"${c * 3} ${c * 4} ${c * 2} ${c * 5} ${c * 3}"
+      } else f"$hot q$i%03dw"
       (i.toLong, "en", text)
     }.toDF("doc_id", "lang", "text")
   }
