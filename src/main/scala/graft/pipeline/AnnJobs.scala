@@ -1,7 +1,5 @@
 package graft.pipeline
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -24,11 +22,11 @@ import org.apache.spark.sql.functions._
   *
   * Everything on the assignment/probe/rank path is built from codegen'd
   * builtins (`zip_with`/`aggregate`/`array_sort` over literal centroid
-  * arrays) — no Scala UDF anywhere in the hot path, so the scan, the cell
-  * join and the cosine ranking all stay inside whole-stage codegen. The only
-  * UDF left wraps vectors for the BOUNDED KMeans training sample (ML's
-  * VectorUDT has no expression constructor), which is off the hot path by
-  * construction. */
+  * arrays) — no Scala UDF anywhere, so the scan, the cell join and the
+  * cosine ranking all stay inside whole-stage codegen. Centroid training
+  * itself is a bounded DRIVER-LOCAL Lloyd's k-means over a deterministic
+  * hash-top-k sample ([[lloyd]]/[[assign]]): index-time work that costs one
+  * corpus pass, never an iterative cluster-side fit. */
 object AnnJobs {
 
   /** Exact dot product of two float-array columns as doubles. */
@@ -62,36 +60,120 @@ object AnnJobs {
     transform(slice(array_sort(dists), 1, nprobe), s => s.getField("i"))
   }
 
+  /** Driver-local Lloyd's k-means with seeded k-means++ init — the coarse
+    * quantizer trainer. Deterministic for a fixed (sample, k, seed); ties
+    * in the assignment argmin break to the lowest centroid index, the same
+    * order [[nearestCells]] uses, so training and full-corpus assignment
+    * agree. Empty clusters keep their previous center. */
+  private[pipeline] def lloyd(xs: Array[Array[Double]], k: Int, seed: Long,
+                              maxIter: Int = 10): Array[Array[Double]] = {
+    require(xs.nonEmpty, "cannot train a quantizer on an empty sample")
+    val dim = xs.head.length
+    val rnd = new scala.util.Random(seed)
+    val n = xs.length
+    // k-means++ seeding: first center uniform, then proportional to the
+    // squared distance to the nearest chosen center
+    val centers = Array.ofDim[Array[Double]](k)
+    centers(0) = xs(rnd.nextInt(n)).clone()
+    val d2 = Array.fill(n)(Double.MaxValue)
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var c = 1
+    while (c < k) {
+      var i = 0
+      var tot = 0.0
+      while (i < n) {
+        val d = sq(xs(i), centers(c - 1))
+        if (d < d2(i)) d2(i) = d
+        tot += d2(i); i += 1
+      }
+      if (tot == 0.0) centers(c) = xs(rnd.nextInt(n)).clone() // all points covered
+      else {
+        var r = rnd.nextDouble() * tot
+        var j = 0
+        while (j < n - 1 && r >= d2(j)) { r -= d2(j); j += 1 }
+        centers(c) = xs(j).clone()
+      }
+      c += 1
+    }
+    // Lloyd iterations: nearest-center assignment (lowest index on ties),
+    // mean recompute; stop early when no point moves
+    val assign = Array.fill(n)(-1)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = sq(xs(i), centers(0))
+        var j = 1
+        while (j < k) {
+          val d = sq(xs(i), centers(j))
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        if (best != assign(i)) { assign(i) = best; moved = true }
+        i += 1
+      }
+      if (moved) {
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Int](k)
+        i = 0
+        while (i < n) {
+          val a = assign(i); counts(a) += 1
+          var d = 0
+          while (d < dim) { sums(a)(d) += xs(i)(d); d += 1 }
+          i += 1
+        }
+        var j = 0
+        while (j < k) {
+          if (counts(j) > 0) {
+            var d = 0
+            while (d < dim) { sums(j)(d) /= counts(j); d += 1 }
+            centers(j) = sums(j)
+          } // empty cluster: keep the previous center
+          j += 1
+        }
+      }
+      iter += 1
+    }
+    centers
+  }
+
   /** Train the coarse quantizer and assign every embedding to its nearest
     * cell. Returns (assigned, centroids).
     *
-    * The quantizer trains on a bounded sample (`maxTrainRows`): centroid
-    * quality needs only a representative sample, and at 100 TB a KMeans
-    * `fit` over the full table would iterate the whole corpus maxIter
-    * times. Assignment still covers every row — via the builtin
-    * [[nearestCells]] argmin over the trained centroids (exact squared
-    * distance, lowest index on ties, matching ML's `findClosest` order),
-    * not `model.transform`, so the full-corpus pass carries no UDF. The
-    * sample is seeded, so centroids are deterministic for a fixed input. */
+    * The quantizer trains DRIVER-LOCALLY on a bounded deterministic sample:
+    * the `maxTrainRows` hash-smallest `vec_id`s, fetched by a distributed
+    * top-k (`TakeOrderedAndProject` — ONE corpus pass, no `count()`), then
+    * [[lloyd]] over ≤100k unit vectors in driver memory (≤~50 MB at
+    * 64 dims). Centroid quality needs only a representative sample, and at
+    * 100 TB an iterative cluster-side fit would re-scan the corpus every
+    * iteration and serialize the job queue on index builds — index-time
+    * training is a bounded driver computation by design. Assignment still
+    * covers every row — via the builtin [[nearestCells]] argmin over the
+    * trained centroids (exact squared distance, lowest index on ties,
+    * matching [[lloyd]]'s order), so the full-corpus pass carries no UDF
+    * anywhere. Deterministic for a fixed input and seed. */
   def assign(spark: SparkSession, embeddings: DataFrame, nlist: Int,
              seed: Long = 42L, maxTrainRows: Long = 100000L)
       : (DataFrame, Array[Array[Double]]) = {
-    // Vector wrapping only for the bounded training sample (VectorUDT needs
-    // a UDF); normalize first — Euclidean cells must respect cosine
-    // neighborhoods.
-    val toUnitVec = udf((a: Seq[Float]) => {
-      val v = a.map(_.toDouble).toArray
-      val n = math.sqrt(v.map(x => x * x).sum)
-      Vectors.dense(if (n == 0) v else v.map(_ / n))
-    })
-    val n = embeddings.count()
-    val sampled =
-      if (n <= maxTrainRows) embeddings
-      else embeddings.sample(withReplacement = false,
-        math.min(1.0, maxTrainRows.toDouble * 1.05 / n), seed)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(sampled.withColumn("features", toUnitVec(col("embedding"))))
-    val centroids = model.clusterCenters.map(_.toArray)
+    require(maxTrainRows > 0 && maxTrainRows <= 1000000L,
+      s"driver-local training sample must be bounded, got $maxTrainRows")
+    val sample: Array[Array[Double]] = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(maxTrainRows.toInt)
+      .select(col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](0).iterator.map(_.toDouble).toArray
+        val nrm = math.sqrt(v.iterator.map(x => x * x).sum)
+        if (nrm == 0) v else v.map(_ / nrm) // unit: cosine cells = L2 cells
+      }
+    val centroids = lloyd(sample, nlist, seed)
     val assigned = embeddings.withColumn("cell",
       element_at(nearestCells(col("embedding"), centroids, 1), 1))
     (assigned, centroids)
