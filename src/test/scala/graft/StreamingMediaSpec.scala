@@ -79,6 +79,118 @@ class StreamingMediaSpec extends AnyFunSuite {
       "decodeStub must use the REAL header dims when the container parses")
   }
 
+  // Independent PNG encoder for the decode tests: Deflater + CRC32 over
+  // hand-assembled chunks, with the FORWARD row filters implemented here
+  // (so the kernel's unfilter is checked against a separate derivation).
+  private def be32(v: Int) =
+    Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+    be32(data.length) ++ typ.getBytes("US-ASCII") ++ data ++ be32(crc.getValue.toInt)
+  }
+  private def encodePng(w: Int, h: Int, colorType: Int,
+                        raw: Array[Byte]): Array[Byte] = {
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 128)
+    val n = d.deflate(buf)
+    d.end()
+    sig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", buf.take(n)) ++
+      pngChunk("IEND", Array.empty[Byte])
+  }
+
+  test("PNG pixel decode: inflate + unfilter recovers known pixels (RGB, filter 0)") {
+    // 8x8 RGB: left half black, right half white, all rows filter 0
+    val w = 8; val h = 8
+    val rows = (0 until h).flatMap { _ =>
+      0.toByte +: (0 until w).flatMap { x =>
+        val v: Byte = if (x < w / 2) 0 else 0xff.toByte
+        Seq(v, v, v)
+      }
+    }.toArray
+    val png = encodePng(w, h, 2, rows)
+    val (d1, d2, d3, feat) = MediaJob.decodeStub("image", png)
+    assert((d1, d2, d3) == (8, 8, 3))
+    // 4x4 grid: columns 0-1 over the black half -> -0.5, columns 2-3 -> +0.5
+    for (gy <- 0 until 4; gx <- 0 until 4) {
+      val expect = if (gx < 2) -0.5f else 0.5f
+      assert(math.abs(feat(gy * 4 + gx) - expect) < 1e-3,
+        s"cell ($gy,$gx): ${feat(gy * 4 + gx)} vs $expect")
+    }
+  }
+
+  test("PNG pixel decode: all four non-trivial filters round-trip (grayscale)") {
+    // 4x4 grayscale, one row per filter type 1/2/3/4, forward-filtered here
+    val w = 4; val h = 4
+    val px = Array(
+      Array(10, 60, 110, 160),
+      Array(35, 85, 135, 185),
+      Array(50, 100, 150, 200),
+      Array(75, 125, 175, 225))
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new scala.collection.mutable.ArrayBuffer[Byte]()
+    for (y <- 0 until h) {
+      val f = y + 1 // filters 1,2,3,4
+      raw += f.toByte
+      for (x <- 0 until w) {
+        val cur = px(y)(x)
+        val left = if (x > 0) px(y)(x - 1) else 0
+        val up = if (y > 0) px(y - 1)(x) else 0
+        val ul = if (y > 0 && x > 0) px(y - 1)(x - 1) else 0
+        val filtered = f match {
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw += (filtered & 0xff).toByte
+      }
+    }
+    val png = encodePng(w, h, 0, raw.toArray)
+    val (d1, d2, d3, feat) = MediaJob.decodeStub("image", png)
+    assert((d1, d2, d3) == (4, 4, 1))
+    // 4x4 image under a 4x4 grid: one pixel per cell, exactly recoverable
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(math.abs(feat(y * 4 + x) - (px(y)(x) / 255.0f - 0.5f)) < 1e-4,
+        s"pixel ($y,$x) not recovered: ${feat(y * 4 + x)}")
+  }
+
+  test("WAV PCM decode: window RMS from real samples (16-bit and 8-bit)") {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def wav(bits: Int, data: Array[Byte]): Array[Byte] = {
+      val fmtBody = le16(1) ++ le16(1) ++ le32(8000) ++
+        le32(8000 * bits / 8) ++ le16(bits / 8) ++ le16(bits)
+      "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ fmtBody ++
+        "data".getBytes ++ le32(data.length) ++ data
+    }
+    // 160 frames 16-bit mono: first half silence, second half half-scale square
+    val d16 = (0 until 160).flatMap { i =>
+      val v = if (i < 80) 0 else if (i % 2 == 0) 16384 else -16384
+      le16(v & 0xffff)
+    }.toArray
+    val (rate, frames, _, feat) = MediaJob.decodeStub("audio", wav(16, d16))
+    assert(rate == 8000 && frames == 160)
+    for (k <- 0 until 8)
+      assert(math.abs(feat(k) - (-0.5f)) < 1e-4, s"window $k should be silent")
+    for (k <- 8 until 16)
+      assert(math.abs(feat(k) - 0.0f) < 1e-3, s"window $k should be half-scale RMS")
+
+    // 8-bit: constant 128 = digital silence
+    val d8 = Array.fill[Byte](64)(128.toByte)
+    val (r8, f8, _, feat8) = MediaJob.decodeStub("audio", wav(8, d8))
+    assert(r8 == 8000 && f8 == 64)
+    assert(feat8.forall(v => math.abs(v - (-0.5f)) < 1e-4))
+  }
+
   test("media feature extraction: schema, determinism, doc join") {
     import spark.implicits._
     val docs = CorpusGen.generate(spark, 300, 4).toDF()
