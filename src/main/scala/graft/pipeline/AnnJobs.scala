@@ -34,6 +34,16 @@ object AnnJobs {
     aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Let-binding for Column expressions: evaluate `v` ONCE per row and
+    * reference the bound value from `body`. Spark's higher-order builtins
+    * (`transform`/`zip_with`/`aggregate`) run INTERPRETED and re-evaluate
+    * any sub-expression embedded in a lambda once per array element — an
+    * O(dim) reduction nested inside a per-element lambda silently becomes
+    * O(dim²) per row (measured: 14-106 s to evaluate nearestCells over a
+    * 2,000-row table before this binding, milliseconds after). */
+  private def letD(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), x => body(x)), 1)
+
   /** Cosine similarity rounded to 4dp — same rounding as the oracle-checked
     * q_ann_cosine, so brute force and IVF rank identically. */
   private def cosine(a: Column, b: Column): Column =
@@ -42,22 +52,30 @@ object AnnJobs {
   /** The `nprobe` nearest centroids of `emb` (unit-normalized — cosine IVF
     * = L2 IVF on the unit sphere), as an array of cell indices ordered by
     * squared distance with a lowest-index tiebreak. Centroids are folded in
-    * as a LITERAL array of (index, coords) structs: the whole computation
-    * is builtins, evaluated per row inside codegen. */
+    * as a LITERAL array of (index, |c|², coords) structs.
+    *
+    * Uses the expansion d²(x/|x|, c) = 1 + |c|² - 2·(x·c)/|x|: the |x|
+    * norm is computed ONCE per row (via [[letD]] — nesting it in the
+    * per-centroid lambda would re-evaluate the O(dim) reduction per
+    * centroid), each centroid then costs one O(dim) dot product, and the
+    * constant 1 is dropped since it doesn't affect the argsort. A zero
+    * vector scores |c|² (its "unit" form is the zero vector). */
   private def nearestCells(emb: Column, centroids: Array[Array[Double]],
                            nprobe: Int): Column = {
-    val nrm = sqrt(dot(emb, emb))
-    val unit = transform(emb, x =>
-      when(nrm === 0.0, x.cast("double")).otherwise(x.cast("double") / nrm))
     val centLit = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("i"), array(c.map(lit(_)): _*).as("c"))
+      struct(lit(i).as("i"), lit(c.map(x => x * x).sum).as("c2"),
+        array(c.map(lit(_)): _*).as("c"))
     }: _*)
-    // struct(d, i) sorts lexicographically: distance first, index tiebreak
-    val dists = transform(centLit, s => struct(
-      aggregate(zip_with(unit, s.getField("c"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, v) => acc + v).as("d"),
-      s.getField("i").as("i")))
-    transform(slice(array_sort(dists), 1, nprobe), s => s.getField("i"))
+    letD(sqrt(dot(emb, emb))) { nrm =>
+      // struct(d, i) sorts lexicographically: score first, index tiebreak
+      val dists = transform(centLit, s => struct(
+        when(nrm === 0.0, s.getField("c2"))
+          .otherwise(s.getField("c2") -
+            lit(2.0) * dot(emb, s.getField("c")) / nrm)
+          .as("d"),
+        s.getField("i").as("i")))
+      transform(slice(array_sort(dists), 1, nprobe), s => s.getField("i"))
+    }
   }
 
   /** Driver-local Lloyd's k-means with seeded k-means++ init — the coarse
@@ -211,13 +229,18 @@ object AnnJobs {
     * builtins, stays in codegen; zero vectors quantize to all-zeros. */
   def int8Quantize(emb: Column): Column = {
     val demb = transform(emb, x => x.cast("double"))
-    val maxabs = array_max(transform(demb, x => abs(x)))
-    struct(
-      maxabs.as("maxabs"),
-      when(maxabs === 0.0, transform(demb, _ => lit(0).cast("tinyint")))
-        .otherwise(transform(demb, x =>
-          round(x * lit(127.0) / maxabs).cast("tinyint")))
-        .as("q"))
+    // maxabs is bound via letD: referenced from inside the per-element
+    // quantization lambda, it would otherwise re-run its O(dim) array_max
+    // per element (interpreted higher-order functions re-evaluate embedded
+    // sub-expressions — see letD)
+    letD(array_max(transform(demb, x => abs(x)))) { maxabs =>
+      struct(
+        maxabs.as("maxabs"),
+        when(maxabs === 0.0, transform(demb, _ => lit(0).cast("tinyint")))
+          .otherwise(transform(demb, x =>
+            round(x * lit(127.0) / maxabs).cast("tinyint")))
+          .as("q"))
+    }
   }
 
   /** Reconstruct doubles from [[int8Quantize]] output: q_i * maxabs / 127.
