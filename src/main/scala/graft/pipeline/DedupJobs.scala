@@ -191,33 +191,67 @@ object DedupJobs {
     // (eager) replaces each round's result with its materialized RDD; on a
     // real cluster use reliable checkpoint() for executor-loss tolerance.
     // Checkpoint blocks are freed by the ContextCleaner once unreferenced.
+    // Symmetrize in ONE pass over `pairs` (in-row explode of both edge
+    // directions): the union-of-two-selects form referenced the incoming
+    // plan twice, and when the pairs arrive as an unmaterialized pipeline
+    // (q_dedup_components feeds minhashVerified straight in) Spark executes
+    // the whole verify-join lineage once per reference. No `distinct`:
+    // min-aggregation is idempotent to duplicate edges, so deduping them is
+    // a pure extra shuffle at any scale.
     val sym = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().localCheckpoint()
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
+    // Self-loop edges fold a node's OWN label into the same neighbor-min
+    // aggregate — comp(v) := min over (N(v) ∪ {v}) of comp — removing the
+    // per-round left-join back onto the labels. The edge set is fixed, so
+    // this is built (and checkpointed) once, outside the loop.
+    val symSelf = sym
+      .union(labels.select(col("id").as("src"), col("id").as("dst")))
+      .localCheckpoint()
+    // One step+jump round on a (id, old, comp) table — `old` (the label at
+    // the start of the current checkpoint window) rides along in the
+    // aggregate via the self-loop row (each src group has exactly one), so
+    // convergence is decided from the window's own materialization with no
+    // extra join back onto previous labels. The stepped table feeds both
+    // sides of the jump self-join: persist it (tiny — one row per labeled
+    // id) so the round's join+agg executes once, not once per reference.
+    def stepJump(lbl: DataFrame, release: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
+      val stepped = symSelf
+        .join(lbl.select(col("id").as("dst"), col("comp").as("ncomp"), col("old")), Seq("dst"))
+        .groupBy(col("src")).agg(
+          min(col("ncomp")).as("comp"),
+          max(when(col("dst") === col("src"), col("old"))).as("old"))
+        .select(col("src").as("id"), col("old"), col("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      release += stepped
+      // pointer jump: follow the label one hop (comp(v) := comp(comp(v)))
+      val hop = stepped.select(col("id").as("jid"), col("comp").as("jcomp"))
+      stepped.join(hop, stepped("comp") === hop("jid"), "left")
+        .select(stepped("id"), stepped("old"),
+          coalesce(col("jcomp"), stepped("comp")).as("comp"))
+    }
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val nbrMin = sym
-        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("ncomp")).as("nmin"))
-        .select(col("src").as("id"), col("nmin"))
-      // carry the incoming label as `old` so convergence is decided from
-      // THIS round's materialization — no third per-round join back onto
-      // the previous labels (round-3 verdict #5: 2 jobs per round, the
-      // checkpoint job plus a cached-scan count)
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("comp").as("old"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-      // pointer jump: follow the label one hop (comp(v) := comp(comp(v)))
-      val hop = stepped.select(col("id").as("jid"), col("comp").as("jcomp"))
-      val jumped = stepped.join(hop, stepped("comp") === hop("jid"), "left")
-        .select(stepped("id"), stepped("old"),
-          coalesce(col("jcomp"), stepped("comp")).as("comp"))
-        .localCheckpoint()
+      // TWO step+jump rounds per checkpoint + convergence count (round-4
+      // verdict #3): the per-round fixed cost at steady state is the
+      // barrier/stage latency over tiny id-keyed tables, not compute, so
+      // halving the checkpoint/count frequency halves the loop's job
+      // count. Labels are monotone decreasing, so comp < old detects a
+      // change in EITHER half-round. Plan depth stays bounded: the window
+      // is still cut by one localCheckpoint.
+      val release = scala.collection.mutable.Buffer[DataFrame]()
+      val withOld = labels.select(col("id"), col("comp").as("old"), col("comp"))
+      val once = stepJump(withOld, release)
+      val window = if (iter + 1 < maxIter) { iter += 1; stepJump(once, release) } else once
+      val jumped = window.localCheckpoint()
       changed = jumped.filter(col("comp") < col("old")).count()
+      release.foreach(_.unpersist(false))
       labels = jumped.select(col("id"), col("comp"))
       iter += 1
     }

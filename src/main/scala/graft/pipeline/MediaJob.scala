@@ -76,6 +76,9 @@ object MediaJob {
       while (i + 8 <= b.length) {
         val id = new String(b, i, 4, "US-ASCII")
         val len = u32le(b, i + 4)
+        // Long arithmetic: a crafted len near Int.MaxValue must not wrap the
+        // bounds check (or the cursor) negative.
+        if (len < 0 || i.toLong + 8 + len > b.length) return None
         if (id == "fmt " && i + 24 <= b.length) {
           // fmt body (i+8): format(2) channels(2) sampleRate(4) byteRate(4)
           //                 blockAlign(2) bitsPerSample(2)
@@ -105,12 +108,15 @@ object MediaJob {
       val w = u32be(b, 16); val h = u32be(b, 20)
       val bitDepth = b(24) & 0xff; val colorType = b(25) & 0xff
       val interlace = b(28) & 0xff
-      if (bitDepth != 8 || interlace != 0 || w <= 0 || h <= 0 ||
-          w.toLong * h > 64L * 1024 * 1024) return None
+      if (bitDepth != 8 || interlace != 0 || w <= 0 || h <= 0) return None
       val channels = colorType match {
         case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
         case _ => return None
       }
+      // Bound total transient allocation (raw bytes + Int px + Float luma),
+      // channel-aware: a few-KB crafted RGBA header claiming 64M px must not
+      // trigger ~1.5 GB of allocation per concurrent task on untrusted bytes.
+      if (w.toLong * h * channels > 64L * 1024 * 1024) return None
       // walk chunks: concatenate IDAT, keep PLTE for color type 3
       var palette: Array[Byte] = null
       val idat = new java.io.ByteArrayOutputStream()
@@ -119,7 +125,7 @@ object MediaJob {
       while (!done && i + 8 <= b.length) {
         val len = u32be(b, i)
         val id = new String(b, i + 4, 4, "US-ASCII")
-        if (len < 0 || i + 8 + len > b.length) return None
+        if (len < 0 || i.toLong + 8 + len > b.length) return None
         id match {
           case "IDAT" => idat.write(b, i + 8, len)
           case "PLTE" => palette = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
@@ -134,16 +140,19 @@ object MediaJob {
       val bpp = channels
       val stride = w * bpp
       val raw = new Array[Byte](h * (1 + stride))
+      // end() in finally: early returns / malformed input must not leak
+      // native zlib memory until GC finalization.
       val inf = new java.util.zip.Inflater()
-      inf.setInput(idat.toByteArray)
       var off = 0
-      while (off < raw.length && !inf.finished()) {
-        val n = inf.inflate(raw, off, raw.length - off)
-        // truncated stream or preset-dictionary zlib: no progress possible
-        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
-        off += n
-      }
-      inf.end()
+      try {
+        inf.setInput(idat.toByteArray)
+        while (off < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, off, raw.length - off)
+          // truncated stream or preset-dictionary zlib: no progress possible
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+          off += n
+        }
+      } finally inf.end()
       if (off < raw.length) return None
       // reverse per-row filters in place over the pixel bytes
       val px = new Array[Int](h * stride)
@@ -229,13 +238,16 @@ object MediaJob {
     if (b == null || b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
         b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
       return None
+    try {
     var i = 12
     var rate = 0; var bits = 0; var chans = 0; var fmt = 0
     var dataOff = -1; var dataLen = 0
     while (i + 8 <= b.length) {
       val id = new String(b, i, 4, "US-ASCII")
       val len = u32le(b, i + 4)
-      if (len < 0 || i + 8 + len > b.length) return None
+      // Long arithmetic: len near Int.MaxValue must not overflow the check
+      // and wrap the cursor negative (one corrupt record would kill the task).
+      if (len < 0 || i.toLong + 8 + len > b.length) return None
       if (id == "fmt " && len >= 16) {
         fmt = u16le(b, i + 8); chans = u16le(b, i + 10)
         rate = u32le(b, i + 12); bits = u16le(b, i + 22)
@@ -271,6 +283,7 @@ object MediaJob {
       win += 1
     }
     Some((rate, nFrames, feat))
+    } catch { case _: Exception => None } // corrupt input → header/fold tier
   }
 
   /** Decode dispatch, best-real-first:
