@@ -50,10 +50,11 @@ object Bench {
       "q_dedup_minhash_verified", "q_dedup_components", "q_dedup_ngram_capped",
       "q_dedup_embedding", "q_dedup_simhash", "q_ann_cosine", "q_ann_lsh_topk",
       "q_ann_quantized", "q_ann_lsh_quantized", "q_ann_ivf_quantized",
+      "q_ann_hyperplane_quantized", "q_ann_ivf_probe",
       "q_fingerprint", "q_quality_score",
       "q_sample_stratified", "q_html_extract", "q_layout_order",
       "q_chunks", "q_chunk_pack", "q_quality_gopher", "q_quality_repetition",
-      "q_decontaminate", "q_training_pipeline")
+      "q_decontaminate", "q_training_pipeline", "q_training_pipeline_neardup")
 
     // JIT/codegen warm pass at the smallest SF (same plan shapes → same
     // generated classes) so the timed runs measure steady state, not

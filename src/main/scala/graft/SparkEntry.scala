@@ -42,6 +42,10 @@ object SparkEntry {
     ExtractJob.extractRecords(spark, docs, 8).toDF()
   }
 
+  /** Per-JVM cache of built IVF index dirs, keyed by sf dir (see
+    * q_ann_ivf_probe): reps reuse the index, fresh processes rebuild. */
+  private val ivfIndexDirs = scala.collection.mutable.Map.empty[String, String]
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -435,6 +439,42 @@ object SparkEntry {
         k = 5, nlist = 8, nprobe = 2)
     }),
 
+    "q_ann_hyperplane_quantized" -> ((s, dir) => {
+      // Random-hyperplane (±1, seeded) sign-LSH buckets over int8
+      // candidates: distribution-robust where axis-aligned sign bits
+      // collapse (AnnSpec's correlated-dims fixture). The oracle bakes the
+      // identical seeded matrix into SQL, so this is fully oracle-checked.
+      val e = t(s, dir, "embeddings")
+      graft.pipeline.AnnJobs.hyperplaneQuantizedTopK(e, col("vec_id") < 10,
+        dim = 64, k = 3, nBits = 8, seed = 7L)
+    }),
+
+    "q_ann_ivf_probe" -> ((s, dir) => {
+      // Index-once / probe-many (round-4 verdict #2): buildIndex persists
+      // centroids + the cell-partitioned int8 corpus; probeIndex answers
+      // from the index alone — zero training jobs, partition-pruned
+      // candidate scan. Built once per sf dir (the _built marker), so
+      // bench reps measure the PROBE, which is the serving-path cost.
+      // Rows-only check (KMeans index build is not DuckDB-expressible);
+      // AnnSpec pins probe == fused ivfQuantizedTopK row equality.
+      val e = t(s, dir, "embeddings")
+      // Cached per (JVM, sf dir) under a FRESH temp root — bench reps in
+      // one JVM measure the probe (the serving-path cost), while a new
+      // process always rebuilds, so a stale index from older code can
+      // never serve answers.
+      val idx = ivfIndexDirs.synchronized {
+        ivfIndexDirs.getOrElseUpdate(dir, {
+          val d = java.nio.file.Files
+            .createTempDirectory("graft_ivf_index_").toString
+          graft.pipeline.AnnJobs.buildIndex(s, e, d, nlist = 8)
+          d
+        })
+      }
+      graft.pipeline.AnnJobs.probeIndex(s, idx,
+        e.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+        k = 5, nprobe = 2)
+    }),
+
     // Text analysis --------------------------------------------------------
     "q_lang_id" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -712,12 +752,76 @@ object SparkEntry {
         .crossJoin(packs.toDF().agg(count(lit(1)).as("n_packs")))
     }),
 
+    // Flagship pipeline with NEAR-DUP dedup (round-4 verdict #1): the
+    // dedup stage composes the repo's real fuzzy machinery — exact-hash
+    // dedup first (identical normalized bodies, cheap), then minhash-LSH
+    // verified pairs at jaccard >= 0.9 over the survivors, connected
+    // components over the pair graph, and keep-the-canonical-doc per
+    // near-dup cluster (production corpora dedup fuzzily — the
+    // Gopher/GPT-3 lineage the quality gate already cites). Every stage
+    // count is replayed by the composed DuckDB oracle (the
+    // minhash-verified + CC oracles spliced into the training-pipeline
+    // oracle). Same checkpoint discipline as q_training_pipeline: each
+    // multiply-consumed stage boundary materializes exactly once. -------
+    "q_training_pipeline_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = graft.pipeline.QualityFilters.gopherSignals(docs).filter(col("passes"))
+      val nt = trim(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " "))
+      val dedAll = q.withColumn("nthash", md5(nt))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("nthash")).orderBy(col("doc_id"))))
+        .select(col("doc_id"), col("text"), col("rn"))
+        .localCheckpoint()
+      val ded = dedAll.filter(col("rn") === 1)
+      // near-dup pairs over the exact-dedup survivors (exact dups are
+      // jaccard-1.0 pairs; removing them first keeps the pair graph to
+      // genuinely fuzzy edges), then components -> drop non-canonical
+      // members. Docs in no pair never enter the graph and are kept.
+      val pairs = graft.pipeline.DedupJobs.minhashVerified(
+        ded.select(col("doc_id"), col("text")), numHashes = 8, bands = 4,
+        bucketCap = 200, jaccardThreshold = 0.9)
+      val dropIds = graft.pipeline.DedupJobs
+        .connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+        .filter(col("is_canonical") === 0)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val near = ded.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .join(dropIds, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val contam = graft.pipeline.Decontaminate
+        .contaminated(near, k = 4, testMod = 97L, maxDf = 50L)
+        .select(col("doc_id"))
+      val train = near.filter(col("doc_id") % 97 =!= 0)
+        .join(contam, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val chunkMeta = graft.pipeline.ChunkJobs.chunk(train, 32, 8)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"))
+        .localCheckpoint()
+      val packs = graft.pipeline.ChunkJobs.packMeta(s, chunkMeta, 100)
+      docs.agg(count(lit(1)).as("n_input"))
+        .crossJoin(dedAll.agg(
+          count(lit(1)).as("n_quality"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_dedup")))
+        .crossJoin(near.agg(count(lit(1)).as("n_neardup")))
+        .crossJoin(train.agg(count(lit(1)).as("n_train")))
+        .crossJoin(chunkMeta.agg(count(lit(1)).as("n_chunks")))
+        .crossJoin(packs.toDF().agg(count(lit(1)).as("n_packs")))
+    }),
+
     // Test-set decontamination (GPT-3-style n-gram overlap): in-row
     // distinct shingles, DF-capped equi-join — skew bounded by maxDf. ----
     "q_decontaminate" -> ((s, dir) => {
       graft.pipeline.Decontaminate
         .contaminated(t(s, dir, "documents"), k = 4, testMod = 97L, maxDf = 50L)
         .orderBy(col("doc_id"))
+    }),
+
+    // Removal audit (round-4 verdict #7): per (contaminated doc, test doc)
+    // pair — shared-shingle count + a reproducible example shingle — so an
+    // operator can audit which test document caused each removal. ---------
+    "q_decontaminate_audit" -> ((s, dir) => {
+      graft.pipeline.Decontaminate
+        .contaminationAudit(t(s, dir, "documents"), k = 4, testMod = 97L, maxDf = 50L)
+        .orderBy(col("doc_id"), col("test_doc_id"))
     }),
 
     // Gopher-rule quality filtering (Rae et al. 2021 A1.1): per-row
@@ -786,6 +890,16 @@ object SparkEntry {
   )
 
   // ------------------------------------------------------------- oracleSql
+
+  /** The ±1 hyperplane matrix of q_ann_hyperplane_quantized rendered as a
+    * DuckDB bucket expression — the SAME AnnJobs.hyperplanes(64, 8, 7)
+    * matrix the Spark entry uses, so engine and oracle share one seed. */
+  private def hyperplaneSqlBucket: String =
+    graft.pipeline.AnnJobs.hyperplanes(64, 8, 7L).zipWithIndex.map {
+      case (p, i) =>
+        val arr = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"CASE WHEN list_dot_product(emb, $arr) > 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString(" +\n        |     ")
 
   def oracleSql: Map[String, String] = Map(
     "q_pricing_summary" ->
@@ -1235,6 +1349,37 @@ object SparkEntry {
         |SELECT q_id, bucket, n_id, sim, rn FROM ranked WHERE rn <= 3
         |ORDER BY q_id, rn""".stripMargin,
 
+    // Mirrors AnnJobs.hyperplaneQuantizedTopK(dim=64, k=3, nBits=8,
+    // seed=7): the bucket is the sign pattern of projections onto the SAME
+    // seeded ±1 matrix (generated once in Scala, folded into this SQL as
+    // literals), then the int8 within-bucket ranking of
+    // q_ann_lsh_quantized.
+    "q_ann_hyperplane_quantized" ->
+      s"""WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    ($hyperplaneSqlBucket) AS bucket,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
+        |  FROM embeddings),
+        |deq AS (
+        |  SELECT vec_id, bucket,
+        |         CASE WHEN maxabs = 0
+        |              THEN list_transform(emb, x -> CAST(0.0 AS DOUBLE))
+        |              ELSE list_transform(emb, x -> round(x * 127.0 / maxabs) * maxabs / 127.0)
+        |         END AS demb
+        |  FROM base),
+        |q AS (SELECT vec_id AS q_id, bucket, demb AS q_emb FROM deq WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS n_id, bucket, demb AS n_emb FROM deq),
+        |scored AS (
+        |  SELECT q_id, q.bucket AS bucket, n_id,
+        |         round(list_cosine_similarity(q_emb, n_emb), 4) AS sim
+        |  FROM q JOIN c ON q.bucket = c.bucket AND q_id <> n_id),
+        |ranked AS (
+        |  SELECT q_id, bucket, n_id, sim,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |  FROM scored)
+        |SELECT q_id, bucket, n_id, sim, rn FROM ranked WHERE rn <= 3
+        |ORDER BY q_id, rn""".stripMargin,
+
     // Mirrors SamplingJobs.stratifiedSample(en→0.10, zh→0.50, default 0.25):
     // keep when the first two hex chars of md5(doc_id) sort below the
     // stratum's threshold (hex('1a')=26≈0.10*256, '80'=128=0.50*256,
@@ -1438,6 +1583,109 @@ object SparkEntry {
         |  CAST((SELECT coalesce(sum(n_chunks), 0) FROM ck) AS BIGINT) AS n_chunks,
         |  CAST((SELECT coalesce(sum(CAST(ceil(n_chunks / 3.0) AS INT)), 0) FROM ck) AS BIGINT) AS n_packs""".stripMargin,
 
+    // Composed oracle for the NEAR-DUP pipeline: the q_training_pipeline
+    // oracle with the q_dedup_minhash_verified (jaccard >= 0.9 over the
+    // exact-dedup survivors' raw text) and q_dedup_components (recursive
+    // reachability closure, min-id component) oracles spliced in between
+    // the exact-dedup and split stages. Kept docs = survivors minus
+    // non-canonical cluster members.
+    "q_training_pipeline_neardup" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, text,
+        |         trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, text, nt, string_split(nt, ' ') AS toks,
+        |         CASE WHEN nt = '' THEN 0
+        |              ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n
+        |  FROM d),
+        |q AS (
+        |  SELECT doc_id, text, nt, toks, n FROM t
+        |  WHERE n >= 50 AND n <= 100000
+        |    AND CAST(length(nt) - (n - 1) AS DOUBLE) / n BETWEEN 3.0 AND 10.0
+        |    AND CAST((length(nt) - length(replace(nt, '#', '')))
+        |           + (length(nt) - length(replace(nt, '...', ''))) / 3
+        |           + (length(nt) - length(replace(nt, '…', ''))) AS DOUBLE) / n <= 0.1
+        |    AND CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / n >= 0.8
+        |    AND len(list_distinct(list_intersect(
+        |          list_transform(toks, x -> lower(x)),
+        |          ['the','and','of','to','a','in','is','that']))) >= 2),
+        |ded AS (
+        |  SELECT doc_id, text, nt, toks, n FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(nt) ORDER BY doc_id) AS rn
+        |    FROM q) WHERE rn = 1),
+        |mtok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM ded),
+        |sigs AS (
+        |  SELECT doc_id,
+        |         min(md5(concat('0#', tok))) AS h0, min(md5(concat('1#', tok))) AS h1,
+        |         min(md5(concat('2#', tok))) AS h2, min(md5(concat('3#', tok))) AS h3,
+        |         min(md5(concat('4#', tok))) AS h4, min(md5(concat('5#', tok))) AS h5,
+        |         min(md5(concat('6#', tok))) AS h6, min(md5(concat('7#', tok))) AS h7
+        |  FROM mtok GROUP BY doc_id),
+        |bandrows AS (
+        |  SELECT doc_id, 0 AS bi, md5(concat(h0, h1)) AS bh FROM sigs
+        |  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sigs
+        |  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sigs
+        |  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sigs),
+        |bsizes AS (SELECT bi, bh, count(*) AS bn FROM bandrows GROUP BY 1, 2),
+        |kept AS (SELECT br.* FROM bandrows br JOIN bsizes s USING (bi, bh) WHERE s.bn <= 200),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM kept a JOIN kept b ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |tokset AS (SELECT DISTINCT doc_id, tok FROM mtok),
+        |tsizes AS (SELECT doc_id, count(*) AS tn FROM tokset GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM cand c
+        |  JOIN tokset a ON a.doc_id = c.doc_a
+        |  JOIN tokset b ON b.doc_id = c.doc_b AND b.tok = a.tok
+        |  GROUP BY 1, 2),
+        |verified AS (
+        |  SELECT i.doc_a, i.doc_b
+        |  FROM inter i
+        |  JOIN tsizes sa ON sa.doc_id = i.doc_a
+        |  JOIN tsizes sb ON sb.doc_id = i.doc_b
+        |  WHERE CAST(i.inter AS DOUBLE) / (sa.tn + sb.tn - i.inter) >= 0.9),
+        |sym AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM verified
+        |  UNION SELECT doc_b, doc_a FROM verified),
+        |reach AS (
+        |  SELECT a AS id, a AS r FROM sym
+        |  UNION
+        |  SELECT w.id, s.b FROM reach w JOIN sym s ON s.a = w.r),
+        |comp AS (SELECT id AS cid, min(r) AS component FROM reach GROUP BY 1),
+        |nd AS (
+        |  SELECT dd.doc_id, dd.toks, dd.n FROM ded dd
+        |  WHERE dd.doc_id NOT IN (SELECT cid FROM comp WHERE cid <> component)),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 4 AS INT)), ' ')) AS shingle
+        |  FROM nd, unnest(range(0, n - 3)) AS u(i) WHERE n >= 4),
+        |test AS (SELECT doc_id AS tid, shingle FROM sh WHERE doc_id % 97 = 0),
+        |corp AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+        |keepsh AS (SELECT shingle FROM corp GROUP BY shingle HAVING count(*) <= 50),
+        |contam AS (
+        |  SELECT DISTINCT c.doc_id
+        |  FROM corp c JOIN keepsh USING (shingle) JOIN test USING (shingle)),
+        |train AS (
+        |  SELECT * FROM nd
+        |  WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        |ck AS (
+        |  SELECT doc_id,
+        |         CASE WHEN n <= 32 THEN 1
+        |              ELSE 1 + CAST(ceil((n - 32) / 24.0) AS INT) END AS n_chunks
+        |  FROM train)
+        |SELECT
+        |  CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_input,
+        |  CAST((SELECT count(*) FROM q) AS BIGINT) AS n_quality,
+        |  CAST((SELECT count(*) FROM ded) AS BIGINT) AS n_dedup,
+        |  CAST((SELECT count(*) FROM nd) AS BIGINT) AS n_neardup,
+        |  CAST((SELECT count(*) FROM train) AS BIGINT) AS n_train,
+        |  CAST((SELECT coalesce(sum(n_chunks), 0) FROM ck) AS BIGINT) AS n_chunks,
+        |  CAST((SELECT coalesce(sum(CAST(ceil(n_chunks / 3.0) AS INT)), 0) FROM ck) AS BIGINT) AS n_packs""".stripMargin,
+
     "q_decontaminate" ->
       """WITH d AS (
         |  SELECT doc_id, trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS nt
@@ -1461,6 +1709,32 @@ object SparkEntry {
         |  CAST(count(DISTINCT shingle) AS BIGINT) AS n_hit_shingles,
         |  CAST(count(DISTINCT test_doc_id) AS BIGINT) AS n_test_docs
         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same shingling/cap CTEs as q_decontaminate, grouped per (doc, test
+    // doc) with the min shared shingle as the reproducible example.
+    "q_decontaminate_audit" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, string_split(nt, ' ') AS toks,
+        |         CASE WHEN nt = '' THEN 0
+        |              ELSE length(nt) - length(replace(nt, ' ', '')) + 1 END AS n
+        |  FROM d),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 4 AS INT)), ' ')) AS shingle
+        |  FROM t, unnest(range(0, n - 3)) AS u(i) WHERE n >= 4),
+        |test AS (SELECT doc_id AS test_doc_id, shingle FROM sh WHERE doc_id % 97 = 0),
+        |corp AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+        |keep AS (SELECT shingle FROM corp GROUP BY shingle HAVING count(*) <= 50),
+        |hits AS (
+        |  SELECT c.doc_id, c.shingle, t2.test_doc_id
+        |  FROM corp c JOIN keep k USING (shingle) JOIN test t2 USING (shingle))
+        |SELECT doc_id, test_doc_id,
+        |  CAST(count(DISTINCT shingle) AS BIGINT) AS n_shared_shingles,
+        |  min(shingle) AS example_shingle
+        |FROM hits GROUP BY doc_id, test_doc_id ORDER BY doc_id, test_doc_id""".stripMargin,
 
     "q_quality_gopher" ->
       """WITH d AS (

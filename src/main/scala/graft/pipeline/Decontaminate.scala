@@ -56,4 +56,30 @@ object Decontaminate {
         countDistinct(col("shingle")).as("n_hit_shingles"),
         countDistinct(col("test_doc_id")).as("n_test_docs"))
   }
+
+  /** Removal AUDIT (round-4 verdict #7): one row per (contaminated training
+    * doc, test doc) pair with the count of shared capped shingles and the
+    * lexicographically smallest shared shingle hash as a reproducible
+    * example — what an operator needs to audit WHY a document was removed
+    * and which test document triggered it (GPT-3 appendix C reports exactly
+    * this kind of per-collision accounting). Same shingling/cap semantics as
+    * [[contaminated]]: `contaminated` == this table grouped by doc_id. */
+  def contaminationAudit(documents: DataFrame, k: Int, testMod: Long,
+                         maxDf: Long): DataFrame = {
+    val sh = shingles(documents, k)
+    val test = sh.filter(col("doc_id") % testMod === 0)
+      .select(col("doc_id").as("test_doc_id"), col("shingle"))
+    val corpus = sh.filter(col("doc_id") % testMod =!= 0)
+    val keep = corpus.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("shingle")
+    corpus
+      .join(keep, Seq("shingle"), "left_semi")
+      .join(test, "shingle")
+      .groupBy(col("doc_id"), col("test_doc_id"))
+      .agg(
+        countDistinct(col("shingle")).as("n_shared_shingles"),
+        min(col("shingle")).as("example_shingle"))
+  }
 }

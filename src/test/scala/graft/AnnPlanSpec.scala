@@ -67,6 +67,54 @@ class AnnPlanSpec extends AnyFunSuite {
       "query side carries only its own reconstructed vector")
   }
 
+  test("probeIndex: candidate scan is PARTITION-PRUNED on cell and reads only the index") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_annplan_idx").toString
+    graft.pipeline.AnnJobs.buildIndex(spark, emb, dir, nlist = 8)
+    // queries arrive as the CALLER's rows (a real serving call), not a scan
+    // of the corpus table — so every file scan left in the probe plan must
+    // be an index read
+    val qSel = emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding"))
+    val queryDf = spark.createDataFrame(
+      java.util.Arrays.asList(qSel.collect(): _*), qSel.schema)
+    val probe = graft.pipeline.AnnJobs.probeIndex(spark, dir, queryDf,
+      k = 5, nprobe = 2)
+    val scans = graft.tools.ProbeAnn.fileScans(probe.queryExecution.executedPlan)
+    // every scan in the probe plan reads from the index directory — the
+    // probe never touches the raw embeddings table (zero training work)
+    assert(scans.nonEmpty)
+    scans.foreach { f =>
+      assert(f.relation.location.rootPaths.forall(_.toString.contains(dir)),
+        s"probe scan outside the index: ${f.relation.location.rootPaths}")
+    }
+    // the vectors scan carries the cell isin() as a PartitionFilter — the
+    // cell-partitioned layout prunes unprobed cells at the source
+    val vecScan = scans.find(_.relation.location.rootPaths
+      .exists(_.toString.contains("vectors")))
+    assert(vecScan.isDefined, "no scan over the index vectors table")
+    assert(vecScan.get.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      s"cell filter must prune partitions, got partitionFilters=" +
+        s"${vecScan.get.partitionFilters}")
+    // and the payload that crosses the scan is the int8 struct
+    assert(vecScan.get.output.map(_.dataType).exists(isInt8Struct),
+      s"index vectors scan must emit the int8 struct:\n${vecScan.get.schema.treeString}")
+  }
+
+  test("hyperplaneQuantizedTopK: equi-join on bucket, int8 candidate payload") {
+    val df = SparkEntry.queries("q_ann_hyperplane_quantized")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"hyperplane plan is a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoop"), s"hyperplane plan is a nested-loop join:\n$p")
+    val j = topJoin(df)
+    val cSide =
+      if (j.right.output.map(_.dataType).exists(isInt8Struct)) j.right else j.left
+    assert(cSide.output.map(_.dataType).exists(isInt8Struct),
+      s"no join side carries the int8 struct:\n${df.queryExecution.optimizedPlan}")
+    assert(!cSide.output.map(_.dataType).exists(isDoubleArray),
+      s"candidate side must not carry double arrays:\n${cSide.schema.treeString}")
+  }
+
   test("ivfQuantizedTopK: equi-join on cell, int8 candidate payload") {
     val df = SparkEntry.queries("q_ann_ivf_quantized")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

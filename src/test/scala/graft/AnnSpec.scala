@@ -114,6 +114,78 @@ class AnnSpec extends AnyFunSuite {
     assert(ivf == base, "full-probe IVF-quantized must equal the quantized baseline")
   }
 
+  test("probeIndex over a persisted index row-equals the fused ivfQuantizedTopK") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val isQuery = col("vec_id") < 20
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_idx").toString
+    AnnJobs.buildIndex(spark, emb, dir, nlist = 8)
+    val probe = AnnJobs.probeIndex(spark, dir,
+      emb.filter(isQuery).select(col("vec_id"), col("embedding")),
+      k = 5, nprobe = 2).collect().toSeq.map(_.toSeq)
+    val fused = AnnJobs.ivfQuantizedTopK(spark, emb, isQuery, k = 5,
+      nlist = 8, nprobe = 2).collect().toSeq.map(_.toSeq)
+    assert(probe == fused,
+      "index-then-probe must reproduce the fused path row-for-row")
+  }
+
+  test("random-hyperplane LSH beats axis-aligned sign bits on a correlated-dims corpus") {
+    // Adversarial fixture (round-4 verdict #5): similarity lives in dims
+    // 9..64 (10 well-separated ±1 cluster centers, tiny point noise); dims
+    // 1..8 are pure noise. Axis-aligned signBucket keys on exactly those
+    // noise dims, scattering each cluster across 2^nBits buckets at
+    // random; random hyperplanes mix every dimension, so same-cluster
+    // points mostly share their sign pattern.
+    import spark.implicits._
+    val rnd = new scala.util.Random(123)
+    val centers = Array.fill(10, 56)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 10)
+      val noise8 = Array.fill(8)(((rnd.nextDouble() - 0.5) * 0.6).toFloat)
+      val sig = c.map(v => v + ((rnd.nextDouble() - 0.5) * 0.04).toFloat)
+      (i.toLong, (noise8 ++ sig).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val isQuery = col("vec_id") < 10
+    val brute = AnnJobs.bruteForceTopK(spark, emb, isQuery, k = 5).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().groupBy(_.getAs[Long]("q_id"))
+        .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+      brute.keys.toSeq.map(q =>
+        (got.getOrElse(q, Set.empty[Long]) intersect brute(q)).size.toDouble / brute(q).size)
+        .sum / brute.size
+    }
+    val axis = recallOf(AnnJobs.lshQuantizedTopK(emb, isQuery, k = 5, nBits = 4))
+    val hyper = recallOf(AnnJobs.hyperplaneQuantizedTopK(emb, isQuery,
+      dim = 64, k = 5, nBits = 4, seed = 7L))
+    assert(hyper > axis,
+      f"hyperplane recall $hyper%.2f must beat axis-aligned $axis%.2f on correlated dims")
+    assert(axis < 0.5, f"fixture must actually break axis-aligned buckets (got $axis%.2f)")
+    assert(hyper >= 0.5, f"hyperplane recall too low: $hyper%.2f")
+  }
+
+  test("hyperplaneQuantizedTopK matches lshQuantizedTopK's recall on the real corpus") {
+    // On the benign synthetic corpus the hyperplane form must not LOSE
+    // recall vs the axis-aligned form (both measured against brute force).
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val isQuery = col("vec_id") < 20
+    val brute = AnnJobs.bruteForceTopK(spark, emb, isQuery, k = 3).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().groupBy(_.getAs[Long]("q_id"))
+        .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+      brute.keys.toSeq.map(q =>
+        (got.getOrElse(q, Set.empty[Long]) intersect brute(q)).size.toDouble / brute(q).size)
+        .sum / brute.size
+    }
+    val axis = recallOf(AnnJobs.lshQuantizedTopK(emb, isQuery, k = 3))
+    val hyper = recallOf(AnnJobs.hyperplaneQuantizedTopK(emb, isQuery, dim = 64, k = 3))
+    assert(hyper >= axis - 0.15,
+      f"hyperplane recall $hyper%.2f collapsed vs axis-aligned $axis%.2f")
+  }
+
   test("lshQuantizedTopK keeps high recall vs the exact (unquantized) LSH ranking") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val isQuery = col("vec_id") < 20

@@ -67,6 +67,31 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(Decontaminate.contaminated(docs, 4, 97L, 50L).collect().isEmpty)
   }
 
+  test("audit names the test doc and counts the shared shingles per pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "held out test sequence words tail one"),   // test doc A
+      (97L * 2, "another probe quad entirely separate"), // test doc B
+      // shares "held out test sequence" with A AND "another probe quad
+      // entirely" with B; two distinct shingles with A via the longer run
+      (5L, "held out test sequence words then another probe quad entirely"),
+      (6L, "clean training content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val audit = Decontaminate.contaminationAudit(docs, 4, 97L, 50L)
+      .orderBy(col("doc_id"), col("test_doc_id")).collect()
+    assert(audit.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((5L, 0L), (5L, 194L)))
+    val vsA = audit.find(_.getLong(1) == 0L).get
+    // "held out test sequence" + "out test sequence words" = 2 shared
+    assert(vsA.getLong(2) == 2, s"expected 2 shared shingles vs doc 0, got $vsA")
+    assert(vsA.getString(3).nonEmpty)
+    // grouping the audit by doc reproduces `contaminated`'s doc set
+    val fromAudit = audit.map(_.getLong(0)).toSet
+    val flagged = Decontaminate.contaminated(docs, 4, 97L, 50L)
+      .collect().map(_.getLong(0)).toSet
+    assert(fromAudit == flagged)
+  }
+
   test("plan: equi-joins only, no cartesian") {
     import spark.implicits._
     val docs = Seq((0L, "a b c d e"), (1L, "a b c d f")).toDF("doc_id", "text")

@@ -162,6 +162,218 @@ class StreamingMediaSpec extends AnyFunSuite {
         s"pixel ($y,$x) not recovered: ${feat(y * 4 + x)}")
   }
 
+  // ---------------------------------------------------- independent JPEG
+  // Forward baseline-JPEG encoder written HERE, from ITU T.81 Annex A/C/F
+  // directly (FDCT + quantize + canonical Huffman + bit stuffing) — shares
+  // no code with MediaJob's decoder, so agreement pins both against the
+  // published spec rather than against each other.
+
+  private def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+
+  /** Canonical Huffman: every symbol at code length 8 (valid while
+    * n ≤ 255; the all-ones byte stays unused as T.81 requires). */
+  private final class TestHuff(symbols: Array[Int]) {
+    require(symbols.length <= 255)
+    val codeOf: Map[Int, (Int, Int)] =
+      symbols.zipWithIndex.map { case (s, i) => s -> (i, 8) }.toMap
+    def dht(tc: Int, th: Int): Array[Byte] = {
+      val counts = new Array[Byte](16); counts(7) = symbols.length.toByte
+      Array[Byte](((tc << 4) | th).toByte) ++ counts ++ symbols.map(_.toByte)
+    }
+  }
+
+  private final class TestBitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0; private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1); n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = while (n != 0) put(1, 1) // pad with 1-bits
+    def bytes: Array[Byte] = out.toByteArray
+  }
+
+  private def fdctQuant(block: Array[Int], q: Array[Int]): Array[Int] = {
+    // T.81 A.3.3 forward DCT on level-shifted samples, then quantize;
+    // output in ZIGZAG order to mirror the stream layout
+    val zz = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val f = new Array[Int](64)
+    for (v <- 0 until 8; u <- 0 until 8) {
+      var s = 0.0
+      for (y <- 0 until 8; x <- 0 until 8)
+        s += (block(y * 8 + x) - 128) *
+          math.cos((2 * x + 1) * u * math.Pi / 16) *
+          math.cos((2 * y + 1) * v * math.Pi / 16)
+      val cu = if (u == 0) 1 / math.sqrt(2) else 1.0
+      val cv = if (v == 0) 1 / math.sqrt(2) else 1.0
+      f(v * 8 + u) = math.round(cu * cv / 4 * s / q(zzIndexOf(zz, v * 8 + u))).toInt
+    }
+    Array.tabulate(64)(k => f(zz(k)))
+  }
+  private def zzIndexOf(zz: Array[Int], natural: Int): Int = zz.indexOf(natural)
+
+  /** Encode one component's 8x8 coefficient block (zigzag order). */
+  private def encodeBlock(bw: TestBitWriter, coefZz: Array[Int], dcPred: Int,
+                          dc: TestHuff, ac: TestHuff): Int = {
+    def mag(v: Int): (Int, Int) = { // (size, value bits)
+      val a = math.abs(v)
+      var s = 0
+      while ((a >> s) != 0) s += 1
+      (s, if (v >= 0) v else v + (1 << s) - 1)
+    }
+    val (ds, dv) = mag(coefZz(0) - dcPred)
+    val (dcode, dlen) = dc.codeOf(ds)
+    bw.put(dcode, dlen); bw.put(dv, ds)
+    var k = 1
+    var run = 0
+    while (k < 64) {
+      if (coefZz(k) == 0) run += 1
+      else {
+        while (run > 15) {
+          val (c, l) = ac.codeOf(0xf0); bw.put(c, l); run -= 16 // ZRL
+        }
+        val (s, v) = mag(coefZz(k))
+        val (c, l) = ac.codeOf((run << 4) | s)
+        bw.put(c, l); bw.put(v, s)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (c, l) = ac.codeOf(0x00); bw.put(c, l) } // EOB
+    coefZz(0)
+  }
+
+  /** Standalone grayscale baseline JPEG of `px` (w×h, row-major 0-255),
+    * optional restart interval. Returns (bytes, expected decoded pixels)
+    * where the expectation is THIS encoder's own dequantize+IDCT replay —
+    * independent double math, not the decoder's. */
+  private def encodeGrayJpeg(w: Int, h: Int, px: Array[Int], q: Array[Int],
+                             dri: Int = 0): (Array[Byte], Array[Int]) = {
+    val dcT = new TestHuff((0 to 11).toArray)
+    val acT = new TestHuff(
+      (0x00 +: 0xf0 +: (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)).toArray)
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, body: Array[Byte]): Unit = {
+      out.write(0xff); out.write(marker)
+      out.write(be16(body.length + 2)); out.write(body)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(0xdb, Array[Byte](0x00) ++ q.map(_.toByte))                 // DQT id 0
+    seg(0xc0, Array[Byte](8) ++ be16(h) ++ be16(w) ++
+      Array[Byte](1, 1, 0x11, 0))                                   // SOF0 gray
+    seg(0xc4, dcT.dht(0, 0)); seg(0xc4, acT.dht(1, 0))              // DHT
+    if (dri > 0) seg(0xdd, be16(dri))                               // DRI
+    seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))                    // SOS
+    val mcusX = (w + 7) / 8; val mcusY = (h + 7) / 8
+    val expect = new Array[Int](w * h)
+    var bw = new TestBitWriter
+    var dcPred = 0
+    var mcu = 0
+    while (mcu < mcusX * mcusY) {
+      if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+        bw.flush(); out.write(bw.bytes)
+        out.write(0xff); out.write(0xd0 + ((mcu / dri - 1) % 8)) // RSTn
+        bw = new TestBitWriter; dcPred = 0
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      // edge blocks replicate the last row/col (standard practice)
+      val block = Array.tabulate(64) { i =>
+        val x = math.min(w - 1, mx * 8 + i % 8)
+        val y = math.min(h - 1, my * 8 + i / 8)
+        px(y * w + x)
+      }
+      val coefZz = fdctQuant(block, q)
+      dcPred = encodeBlock(bw, coefZz, dcPred, dcT, acT)
+      // expectation: dequantize + plain-double IDCT + shift/clamp
+      for (yy <- 0 until 8; xx <- 0 until 8) {
+        val gx = mx * 8 + xx; val gy = my * 8 + yy
+        if (gx < w && gy < h) {
+          var s = 0.0
+          for (v <- 0 until 8; u <- 0 until 8) {
+            val cu = if (u == 0) 1 / math.sqrt(2) else 1.0
+            val cv = if (v == 0) 1 / math.sqrt(2) else 1.0
+            val zz = fdctZz
+            s += cu * cv / 4 * coefZz(zz.indexOf(v * 8 + u)) * q(zz.indexOf(v * 8 + u)) *
+              math.cos((2 * xx + 1) * u * math.Pi / 16) *
+              math.cos((2 * yy + 1) * v * math.Pi / 16)
+          }
+          expect(gy * w + gx) = math.max(0, math.min(255, math.round(s + 128).toInt))
+        }
+      }
+      mcu += 1
+    }
+    bw.flush(); out.write(bw.bytes)
+    out.write(0xff); out.write(0xd9) // EOI
+    (out.toByteArray, expect)
+  }
+  private val fdctZz = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  test("JPEG baseline decode: Huffman+IDCT pixels match an independent encoder's replay") {
+    // textured 24x16 gradient — exercises DC diffs and a spread of AC runs
+    val w = 24; val h = 16
+    val px = Array.tabulate(w * h)(i => ((i % w) * 7 + (i / w) * 13 + (i % 5) * 31) % 256)
+    val q = Array.tabulate(64)(k => 1 + k / 8) // mild quant, all ≥ 1
+    val (bytes, expect) = encodeGrayJpeg(w, h, px, q)
+    val got = MediaJob.decodeJpegLuma(bytes)
+    assert(got.isDefined, "decoder rejected a valid baseline JPEG")
+    val (dw, dh, dch, luma) = got.get
+    assert((dw, dh, dch) == (w, h, 1))
+    for (i <- 0 until w * h)
+      assert(math.abs(luma(i) - expect(i)) <= 1.0f,
+        s"pixel $i: decoded ${luma(i)} vs expected ${expect(i)}")
+    // and the dispatch uses the real pixels: feature == gridPool16(luma)
+    val (_, _, _, feat) = MediaJob.decodeStub("image", bytes)
+    val pool = MediaJob.gridPool16(dw, dh, luma)
+    assert(feat.sameElements(pool), "decodeStub must pool the DECODED pixels")
+  }
+
+  test("JPEG decode honors restart intervals (DRI + RSTn, DC predictor reset)") {
+    val w = 32; val h = 8 // 4 MCUs in a row, RST every 2
+    val px = Array.tabulate(w * h)(i => (i * 11) % 256)
+    val q = Array.fill(64)(2)
+    val (bytes, expect) = encodeGrayJpeg(w, h, px, q, dri = 2)
+    val got = MediaJob.decodeJpegLuma(bytes)
+    assert(got.isDefined, "decoder rejected a restart-marker stream")
+    val (dw, dh, _, luma) = got.get
+    assert((dw, dh) == (w, h))
+    for (i <- 0 until w * h)
+      assert(math.abs(luma(i) - expect(i)) <= 1.0f,
+        s"pixel $i: decoded ${luma(i)} vs expected ${expect(i)}")
+  }
+
+  test("JPEG decode rejects progressive and truncated streams (falls back, never throws)") {
+    val w = 8; val h = 8
+    val px = Array.tabulate(w * h)(i => i * 3 % 256)
+    val (bytes, _) = encodeGrayJpeg(w, h, px, Array.fill(64)(4))
+    // flip SOF0 -> SOF2 (progressive): decoder must return None...
+    val prog = bytes.clone()
+    val sofAt = prog.indices.find(i => (prog(i) & 0xff) == 0xff &&
+      (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(MediaJob.decodeJpegLuma(prog).isEmpty)
+    // ...and decodeStub falls back to header dims + fold feature
+    val (d1, d2, d3, _) = MediaJob.decodeStub("image", prog)
+    assert((d1, d2, d3) == (w, h, 1))
+    // truncated mid-scan: None, no exception
+    assert(MediaJob.decodeJpegLuma(bytes.take(bytes.length - 8)).isEmpty)
+  }
+
   test("WAV PCM decode: window RMS from real samples (16-bit and 8-bit)") {
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
