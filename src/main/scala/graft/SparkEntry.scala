@@ -259,7 +259,7 @@ object SparkEntry {
       // cluster (min reachable doc_id), the cluster size, and whether it is
       // the canonical keeper. Min-label propagation + pointer jumping —
       // O(log diameter) rounds of id-equi-joins, see DedupJobs.
-      val pairs = graft.pipeline.DedupJobs.minhashVerified(
+      val pairs = graft.pipeline.DedupJobs.minhashVerifiedPairs(
         t(s, dir, "documents"), numHashes = 8, bands = 4,
         bucketCap = 200, jaccardThreshold = 0.9)
       graft.pipeline.DedupJobs.connectedComponents(
@@ -777,7 +777,7 @@ object SparkEntry {
       // jaccard-1.0 pairs; removing them first keeps the pair graph to
       // genuinely fuzzy edges), then components -> drop non-canonical
       // members. Docs in no pair never enter the graph and are kept.
-      val pairs = graft.pipeline.DedupJobs.minhashVerified(
+      val pairs = graft.pipeline.DedupJobs.minhashVerifiedPairs(
         ded.select(col("doc_id"), col("text")), numHashes = 8, bands = 4,
         bucketCap = 200, jaccardThreshold = 0.9)
       val dropIds = graft.pipeline.DedupJobs

@@ -126,7 +126,18 @@ object DedupJobs {
     * candidate volume, not corpus size. */
   def minhashVerified(docs: DataFrame, numHashes: Int = 8, bands: Int = 4,
                       bucketCap: Int = 200,
-                      jaccardThreshold: Double = 0.5): DataFrame = {
+                      jaccardThreshold: Double = 0.5): DataFrame =
+    minhashVerifiedPairs(docs, numHashes, bands, bucketCap, jaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[minhashVerified]] WITHOUT the final global sort: the sort exists
+    * only for deterministic oracle comparison — consumers that feed the
+    * pairs into another operator (connected components, the training
+    * pipeline) would otherwise pay a range-partitioning exchange + sort
+    * whose order the next shuffle immediately destroys. */
+  def minhashVerifiedPairs(docs: DataFrame, numHashes: Int = 8, bands: Int = 4,
+                           bucketCap: Int = 200,
+                           jaccardThreshold: Double = 0.5): DataFrame = {
     // Candidates are consumed twice (doc-id prune + the verify join); the
     // pair table is tiny relative to the corpus, so persist it rather than
     // recompute the banded-join lineage (at cluster scale: checkpoint it).
@@ -156,7 +167,6 @@ object DedupJobs {
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Connected components over a near-duplicate pair table — the step that
@@ -204,51 +214,73 @@ object DedupJobs {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    // The FIRST neighbor-min round folds into label initialization:
+    // comp0(v) = min(v, min N(v)) costs the same single shuffle that the
+    // identity labeling needed anyway (distinct over src) — so near-clique
+    // graphs (the near-dup common case) arrive at the loop already
+    // converged and the first window is pure verification.
+    var labels = sym.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("comp"))
+      .select(col("src").as("id"), col("comp"))
+      .localCheckpoint()
     // Self-loop edges fold a node's OWN label into the same neighbor-min
     // aggregate — comp(v) := min over (N(v) ∪ {v}) of comp — removing the
-    // per-round left-join back onto the labels. The edge set is fixed, so
-    // this is built (and checkpointed) once, outside the loop.
+    // per-round left-join back onto the labels. NOT checkpointed: both
+    // union inputs already are, so materializing the union would only add
+    // a job to re-store rows the block manager already holds.
     val symSelf = sym
       .union(labels.select(col("id").as("src"), col("id").as("dst")))
-      .localCheckpoint()
-    // One step+jump round on a (id, old, comp) table — `old` (the label at
-    // the start of the current checkpoint window) rides along in the
+    // One neighbor-min round on a (id, old, comp) table — `old` (the label
+    // at the start of the current checkpoint window) rides along in the
     // aggregate via the self-loop row (each src group has exactly one), so
     // convergence is decided from the window's own materialization with no
-    // extra join back onto previous labels. The stepped table feeds both
-    // sides of the jump self-join: persist it (tiny — one row per labeled
-    // id) so the round's join+agg executes once, not once per reference.
-    def stepJump(lbl: DataFrame, release: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
+    // extra join back onto previous labels. With `jump`, the round also
+    // path-halves (comp(v) := comp(comp(v))): the stepped table feeds both
+    // sides of the jump self-join, so it is persisted (tiny — one row per
+    // labeled id) to keep the join+agg at one execution, not one per
+    // reference.
+    def step(lbl: DataFrame, jump: Boolean,
+             release: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
       val stepped = symSelf
         .join(lbl.select(col("id").as("dst"), col("comp").as("ncomp"), col("old")), Seq("dst"))
         .groupBy(col("src")).agg(
           min(col("ncomp")).as("comp"),
           max(when(col("dst") === col("src"), col("old"))).as("old"))
         .select(col("src").as("id"), col("old"), col("comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      release += stepped
-      // pointer jump: follow the label one hop (comp(v) := comp(comp(v)))
-      val hop = stepped.select(col("id").as("jid"), col("comp").as("jcomp"))
-      stepped.join(hop, stepped("comp") === hop("jid"), "left")
-        .select(stepped("id"), stepped("old"),
-          coalesce(col("jcomp"), stepped("comp")).as("comp"))
+      if (!jump) stepped
+      else {
+        val p = stepped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        release += p
+        val hop = p.select(col("id").as("jid"), col("comp").as("jcomp"))
+        p.join(hop, p("comp") === hop("jid"), "left")
+          .select(p("id"), p("old"), coalesce(col("jcomp"), p("comp")).as("comp"))
+      }
     }
     var changed = 1L
     var iter = 0
+    // The FIRST window is one neighbor-min round with NO jump: the folded
+    // init already did a neighbor-min, so on clique-shaped graphs (the
+    // near-dup norm) labels are final before the loop and window 1 is the
+    // minimal possible verification — one equi-join round whose jump would
+    // be the identity anyway. Later windows run TWO jump-rounds per
+    // checkpoint + convergence count (round-4 verdict #3): at steady state
+    // the per-round cost is barrier/stage latency over tiny id-keyed
+    // tables, not compute, so halving the checkpoint/count frequency
+    // halves the loop's job count, and the path-halving keeps adversarial
+    // chains at O(log diameter) windows. Labels are monotone decreasing,
+    // so comp < old detects a change in EITHER half-round. Plan depth
+    // stays bounded: each window is cut by one localCheckpoint.
+    var firstWindow = true
     while (changed > 0 && iter < maxIter) {
-      // TWO step+jump rounds per checkpoint + convergence count (round-4
-      // verdict #3): the per-round fixed cost at steady state is the
-      // barrier/stage latency over tiny id-keyed tables, not compute, so
-      // halving the checkpoint/count frequency halves the loop's job
-      // count. Labels are monotone decreasing, so comp < old detects a
-      // change in EITHER half-round. Plan depth stays bounded: the window
-      // is still cut by one localCheckpoint.
       val release = scala.collection.mutable.Buffer[DataFrame]()
       val withOld = labels.select(col("id"), col("comp").as("old"), col("comp"))
-      val once = stepJump(withOld, release)
-      val window = if (iter + 1 < maxIter) { iter += 1; stepJump(once, release) } else once
+      val window =
+        if (firstWindow) { firstWindow = false; step(withOld, jump = false, release) }
+        else {
+          val once = step(withOld, jump = true, release)
+          if (iter + 1 < maxIter) { iter += 1; step(once, jump = true, release) }
+          else once
+        }
       val jumped = window.localCheckpoint()
       changed = jumped.filter(col("comp") < col("old")).count()
       release.foreach(_.unpersist(false))
@@ -257,10 +289,11 @@ object DedupJobs {
     }
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds ($changed labels still moving)")
-    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, Seq("comp"))
-      .select(col("id").as("doc_id"), col("comp").as("component"),
-        col("cluster_size"),
+    // cluster size + canonical flag in ONE shuffle (a count window over the
+    // component key) instead of a groupBy + join back.
+    val byComp = org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))
+    labels.select(col("id").as("doc_id"), col("comp").as("component"),
+        count(lit(1)).over(byComp).as("cluster_size"),
         when(col("id") === col("comp"), 1).otherwise(0).cast("int").as("is_canonical"))
       .orderBy(col("doc_id"))
   }

@@ -467,4 +467,176 @@ class StreamingMediaSpec extends AnyFunSuite {
       frames(v.media_ref).foreach(f => assert(f.frame_feature.length == 16))
     }
   }
+
+  /** Independent test-side AVI writer (RIFF/AVI spec): hdrl LIST with the
+    * 56-byte avih main header + a strl LIST, then a movi LIST of '00dc'
+    * frame chunks (word-aligned). `declared` overrides dwTotalFrames to
+    * exercise header/chunk-count disagreement. */
+  private def encodeAvi(w: Int, h: Int, frames: Seq[Array[Byte]],
+                        declared: Int = -1): Array[Byte] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad: Array[Byte] =
+        if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    val avih = chunk("avih",
+      le32(33366) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(if (declared >= 0) declared else frames.length) ++
+        le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val strh = chunk("strh", "vids".getBytes("US-ASCII") ++
+      "MJPG".getBytes("US-ASCII") ++ Array.fill[Byte](48)(0))
+    val strf = chunk("strf", Array.fill[Byte](40)(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("AVI MJPEG decode: per-frame features match per-frame JPEG decode") {
+    val w = 16; val h = 16
+    val q = Array.tabulate(64)(k => 1 + k / 8)
+    val frames = (0 until 3).map { n =>
+      encodeGrayJpeg(w, h, Array.tabulate(w * h)(
+        i => ((i % w) * (5 + n) + (i / w) * (11 + n)) % 256), q)._1
+    }
+    val expected = frames.map { f =>
+      val Some((fw, fh, _, luma)) = MediaJob.decodeJpegLuma(f)
+      MediaJob.gridPool16(fw, fh, luma)
+    }
+    val avi = encodeAvi(w, h, frames)
+    val got = MediaJob.decodeAviMjpeg(avi)
+    assert(got.isDefined, "decoder rejected a valid MJPEG AVI")
+    val (dw, dh, n, feats) = got.get
+    assert((dw, dh, n) == (w, h, 3))
+    assert(feats.length == 3)
+    for (i <- 0 until 3)
+      assert(feats(i).sameElements(expected(i)),
+        s"frame $i feature differs from its direct JPEG decode")
+    // dispatch: video tier = real dims + MEAN of the per-frame grids
+    val (d1, d2, d3, feat) = MediaJob.decodeStub("video", avi)
+    assert((d1, d2, d3) == (w, h, 3))
+    val mean = Array.tabulate(16)(k => expected.map(_(k)).sum / 3)
+    for (k <- 0 until 16)
+      assert(math.abs(feat(k) - mean(k)) < 1e-6f)
+  }
+
+  test("AVI with a non-JPEG codec falls back to real header dims + fold feature") {
+    val junkFrame = Array.tabulate[Byte](200)(i => (i * 37).toByte) // not a JPEG
+    val avi = encodeAvi(320, 240, Seq(junkFrame, junkFrame), declared = 48)
+    // frame decode yields nothing → tier-5: header dims (incl. the DECLARED
+    // frame count — larger than the chunk count here) + fold feature
+    assert(MediaJob.decodeAviMjpeg(avi).exists(_._4.isEmpty))
+    assert(MediaJob.probeHeader("video", avi).contains((320, 240, 48)))
+    val (d1, d2, d3, feat) = MediaJob.decodeStub("video", avi)
+    assert((d1, d2, d3) == (320, 240, 48))
+    assert(feat.length == 16)
+  }
+
+  test("crafted AVI chunk lengths cannot wrap the walk or force unbounded decode") {
+    val w = 8; val h = 8
+    val frame = encodeGrayJpeg(w, h,
+      Array.tabulate(w * h)(i => i * 3 % 256), Array.fill(64)(4))._1
+    val avi = encodeAvi(w, h, Seq(frame))
+    // corrupt the movi frame chunk's length to near Int.MaxValue
+    val moviAt = avi.indices.find(i => avi(i) == '0' && avi(i + 1) == '0' &&
+      avi(i + 2) == 'd' && avi(i + 3) == 'c').get
+    val evil = avi.clone()
+    evil(moviAt + 4) = 0xff.toByte; evil(moviAt + 5) = 0xff.toByte
+    evil(moviAt + 6) = 0xff.toByte; evil(moviAt + 7) = 0x7f.toByte
+    val r = MediaJob.decodeAviMjpeg(evil) // must not throw
+    assert(r.forall(_._1 == w))
+    // truncated mid-movi: still no exception, header stays parseable
+    assert(MediaJob.decodeAviMjpeg(avi.take(avi.length - 10)).isDefined)
+    // frame-decode budget: 100 declared chunks, maxDecode caps pixel work
+    val many = encodeAvi(w, h, Seq.fill(100)(frame))
+    val capped = MediaJob.decodeAviMjpeg(many, maxDecode = 5)
+    assert(capped.exists(x => x._3 == 100 && x._4.length == 5))
+  }
+
+  test("resizeImagesDecoded: bilinear over real pixels — exact 2x box average, fallback for junk") {
+    import spark.implicits._
+    // 16x16 gray checkerboard (0/255): a 2x downscale with center mapping
+    // blends exactly the 4 covered texels -> every output pixel is 127.5
+    val w = 16; val h = 16
+    val raw = new scala.collection.mutable.ArrayBuffer[Byte]()
+    for (y <- 0 until h) {
+      raw += 0 // filter None
+      for (x <- 0 until w) raw += (if ((x + y) % 2 == 0) 0 else 255).toByte
+    }
+    val png = encodePng(w, h, 0, raw.toArray)
+    val direct = MediaJob.bilinearResize(w, h,
+      MediaJob.decodePngLuma(png).get._4, 8, 8)
+    assert(direct.forall(v => math.abs(v - 127.5f) < 1e-3f),
+      "2x downscale of a checkerboard must average to 127.5 everywhere")
+    // split image: left half black, right half white -> thumb quadrants
+    val raw2 = new scala.collection.mutable.ArrayBuffer[Byte]()
+    for (y <- 0 until h) {
+      raw2 += 0
+      for (x <- 0 until w) raw2 += (if (x < w / 2) 0 else 255).toByte
+    }
+    val png2 = encodePng(w, h, 0, raw2.toArray)
+    val junk = Array.tabulate[Byte](48)(i => (i * 29 + 3).toByte)
+    val media = Seq(
+      ("m/p1", "d1", "image", png),
+      ("m/p2", "d2", "image", png2),
+      ("m/j", "d3", "image", junk),
+      ("m/skip", "d4", "audio", junk) // non-image rows are filtered out
+    ).toDF("media_ref", "doc_id", "media_type", "bytes")
+    val out = MediaJob.resizeImagesDecoded(spark, media, maxW = 8, maxH = 8)
+      .collect().map(r => r.media_ref -> r).toMap
+    assert(out.keySet == Set("m/p1", "m/p2", "m/j"))
+    val p1 = out("m/p1")
+    assert((p1.src_w, p1.src_h, p1.out_w, p1.out_h) == (16, 16, 8, 8))
+    p1.thumb.foreach(v => assert(math.abs(v - (127.5f / 255.0f - 0.5f)) < 1e-3f))
+    val p2 = out("m/p2")
+    assert(p2.thumb(0) < -0.4f && p2.thumb(1) > 0.4f &&
+      p2.thumb(2) < -0.4f && p2.thumb(3) > 0.4f,
+      s"split image must pool dark/bright/dark/bright, got ${p2.thumb.toSeq}")
+    // junk bytes: fold-feature fallback with decodeStub's dims
+    val (d1, d2, _, feat) = MediaJob.decodeStub("image", junk)
+    val j = out("m/j")
+    assert((j.src_w, j.src_h) == (d1, d2))
+    assert(j.thumb.sameElements(MediaJob.resizeStub(feat)))
+  }
+
+  test("sampleFramesDecoded: real per-frame features for MJPEG AVI, rotation fallback otherwise") {
+    import spark.implicits._
+    val w = 16; val h = 16
+    val q = Array.tabulate(64)(k => 1 + k / 8)
+    val frames = (0 until 5).map { n =>
+      encodeGrayJpeg(w, h, Array.tabulate(w * h)(
+        i => ((i % w) * (3 + n) + (i / w) * (7 + n)) % 256), q)._1
+    }
+    val expected = frames.map { f =>
+      val Some((fw, fh, _, luma)) = MediaJob.decodeJpegLuma(f)
+      MediaJob.gridPool16(fw, fh, luma)
+    }
+    val avi = encodeAvi(w, h, frames)
+    val junk = Array.tabulate[Byte](64)(i => (i * 13 + 1).toByte)
+    val rows = Seq(
+      ("m/avi1", "d1", "video", avi),
+      ("m/junk1", "d2", "video", junk))
+    val media = rows.toDF("media_ref", "doc_id", "media_type", "bytes")
+    val out = MediaJob.sampleFramesDecoded(spark, media, everyNth = 2)
+      .collect().groupBy(_.media_ref)
+    // MJPEG AVI: frames 0,2,4 with their OWN decoded features
+    val aviFrames = out("m/avi1").sortBy(_.frame_idx)
+    assert(aviFrames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    aviFrames.foreach(f =>
+      assert(f.frame_feature.sameElements(expected(f.frame_idx)),
+        s"frame ${f.frame_idx} must carry its own decoded grid"))
+    // undecodable video: the deterministic rotation fallback over decodeStub
+    val (_, _, d3, feat) = MediaJob.decodeStub("video", junk)
+    val junkFrames = out("m/junk1").sortBy(_.frame_idx)
+    assert(junkFrames.map(_.frame_idx).toSeq == (0 until d3 by 2).toSeq)
+    junkFrames.foreach { f =>
+      val rot = Array.tabulate(feat.length)(k => feat((k + f.frame_idx) % feat.length))
+      assert(f.frame_feature.sameElements(rot))
+    }
+  }
 }
