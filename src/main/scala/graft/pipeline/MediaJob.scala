@@ -37,6 +37,14 @@ object MediaJob {
       dim1: Int, dim2: Int, dim3: Int,
       feature: Array[Float])
 
+  /** Per-record cap on frame-sampling fan-out. A frame COUNT is untrusted
+    * header metadata (a crafted avih can declare 2^31-1 frames while the
+    * file holds none); without a bound, one such record explodes into
+    * ~350M rows inside a single task. Real sampled-frame rows are further
+    * bounded by decodeAviMjpeg's maxDecode; this cap governs the
+    * declared-count fallback tiers. */
+  private[graft] val maxSampledFrames: Int = 4096
+
   private def u16be(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
   private def u32be(b: Array[Byte], i: Int): Int =
@@ -55,10 +63,14 @@ object MediaJob {
   private[graft] def probeHeader(mediaType: String,
                                  b: Array[Byte]): Option[(Int, Int, Int)] = {
     if (b == null) return None
-    // PNG: 8-byte signature, then the IHDR chunk at fixed offset 16
+    // PNG: 8-byte signature, then the IHDR chunk at fixed offset 16.
+    // Dims are UNTRUSTED header bytes: a flipped bit yields a negative
+    // int32 — report only positive geometry, else fall to the fold tier.
     if (b.length >= 24 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
-        b(3) == 'G')
-      return Some((u32be(b, 16), u32be(b, 20), 3))
+        b(3) == 'G') {
+      val w = u32be(b, 16); val h = u32be(b, 20)
+      return if (w > 0 && h > 0) Some((w, h, 3)) else None
+    }
     // JPEG: FF D8, then marker segments; SOF0-15 (minus DHT/JPG/DAC) carry
     // the frame header: [len][precision][height:2][width:2]
     if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
@@ -66,8 +78,10 @@ object MediaJob {
       while (i + 9 < b.length && (b(i) & 0xff) == 0xff) {
         val marker = b(i + 1) & 0xff
         if (marker >= 0xc0 && marker <= 0xcf &&
-            marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
-          return Some((u16be(b, i + 7), u16be(b, i + 5), b(i + 9) & 0xff))
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          val w = u16be(b, i + 7); val h = u16be(b, i + 5)
+          return if (w > 0 && h > 0) Some((w, h, b(i + 9) & 0xff)) else None
+        }
         i += 2 + u16be(b, i + 2)
       }
       return None
@@ -885,11 +899,14 @@ object MediaJob {
               SampledFrame(ref, docId, idx, frames(idx)))
           case _ => // undecodable video → the rotation fallback (stub tier)
             val (_, _, d3, feat) = decodeStub("video", bytes)
-            (0 until d3 by everyNth).map { idx =>
-              val rot = Array.tabulate(feat.length)(k =>
-                feat((k + idx) % feat.length))
-              SampledFrame(ref, docId, idx, rot)
-            }
+            // d3 can be a crafted header's declared count (up to 2^31-1):
+            // cap the per-record fan-out so one record can't explode a task
+            (0 until math.min(d3, everyNth * maxSampledFrames) by everyNth)
+              .map { idx =>
+                val rot = Array.tabulate(feat.length)(k =>
+                  feat((k + idx) % feat.length))
+                SampledFrame(ref, docId, idx, rot)
+              }
         }
       }
   }
@@ -902,12 +919,15 @@ object MediaJob {
                    everyNth: Int = 6): Dataset[SampledFrame] = {
     import spark.implicits._
     features.filter(_.media_type == "video").flatMap { f =>
-      (0 until f.dim3 by everyNth).map { idx =>
-        // STUB frame feature: the media feature rotated by the frame index
-        val rot = Array.tabulate(f.feature.length)(k =>
-          f.feature((k + idx) % f.feature.length))
-        SampledFrame(f.media_ref, f.doc_id, idx, rot)
-      }
+      // dim3 can be a crafted header's declared frame count: bound the
+      // per-record explode (see maxSampledFrames)
+      (0 until math.min(f.dim3, everyNth * maxSampledFrames) by everyNth)
+        .map { idx =>
+          // STUB frame feature: the media feature rotated by the frame index
+          val rot = Array.tabulate(f.feature.length)(k =>
+            f.feature((k + idx) % f.feature.length))
+          SampledFrame(f.media_ref, f.doc_id, idx, rot)
+        }
     }
   }
 

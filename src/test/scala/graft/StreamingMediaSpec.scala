@@ -639,4 +639,84 @@ class StreamingMediaSpec extends AnyFunSuite {
       assert(f.frame_feature.sameElements(rot))
     }
   }
+
+  test("mutation fuzz: corrupted valid containers never throw and always yield a 16-dim finite feature") {
+    // The highest-yield fuzz seeds are VALID files: random byte flips,
+    // truncations, length-field splices and garbage tails reach the deep
+    // decode paths (inflate, Huffman, chunk walks) that pure-garbage
+    // inputs bounce off at the signature check. Every byte walk in
+    // MediaJob must degrade to a lower tier — never crash the task: one
+    // uncaught decode exception on one crafted record kills the whole job
+    // after retries (the failure class ADVICE flagged on the WAV walk).
+    val rng = new scala.util.Random(987654321L)
+
+    // one valid artifact per container family, via the independent
+    // test-side encoders used elsewhere in this spec
+    val pngRaw = Array.tabulate(8 * 9)(i => // 8 rows of filter byte + 8 px
+      if (i % 9 == 0) 0 else ((i * 37) % 256)).map(_.toByte)
+    val png = encodePng(8, 8, 0, pngRaw)
+    val jq = Array.tabulate(64)(k => 1 + k / 8)
+    val jpx = Array.tabulate(24 * 16)(i => (i * 7) % 256)
+    val jpeg = encodeGrayJpeg(24, 16, jpx, jq)._1
+    val avi = encodeAvi(24, 16, Seq(jpeg, jpeg))
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val wavData = Array.tabulate(320)(i => (i * 13 % 256).toByte)
+    val wav = "RIFF".getBytes ++ le32(36 + wavData.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++
+      (le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)) ++
+      "data".getBytes ++ le32(wavData.length) ++ wavData
+
+    val seeds = Seq("image" -> png, "image" -> jpeg, "video" -> avi, "audio" -> wav)
+    def mutate(b: Array[Byte]): Array[Byte] = rng.nextInt(4) match {
+      case 0 if b.nonEmpty => // flip 1-8 random bytes
+        val m = b.clone()
+        (0 until 1 + rng.nextInt(8)).foreach { _ =>
+          val i = rng.nextInt(m.length); m(i) = (m(i) ^ (1 << rng.nextInt(8))).toByte
+        }
+        m
+      case 1 => b.take(rng.nextInt(b.length + 1)) // truncate anywhere
+      case 2 if b.length >= 4 => // splice a random 4-byte window (corrupts length fields)
+        val m = b.clone()
+        val i = rng.nextInt(m.length - 3)
+        (0 until 4).foreach(k => m(i + k) = rng.nextInt(256).toByte)
+        m
+      case _ => b ++ Array.fill(1 + rng.nextInt(64))(rng.nextInt(256).toByte)
+    }
+
+    for ((mType, valid) <- seeds; round <- 0 until 300) {
+      // stack 1-3 mutations so corruption compounds
+      var m = mutate(valid)
+      (0 until rng.nextInt(3)).foreach(_ => if (m.nonEmpty) m = mutate(m))
+      val (d1, d2, d3, feat) =
+        try MediaJob.decodeStub(mType, m)
+        catch { case e: Throwable =>
+          fail(s"decodeStub threw on mutated $mType (round $round, ${m.length} bytes): $e")
+        }
+      assert(feat != null && feat.length == 16,
+        s"$mType round $round: feature must stay 16-dim")
+      assert(feat.forall(v => !v.isNaN && !v.isInfinite),
+        s"$mType round $round: feature must stay finite")
+      assert(d1 >= 0 && d2 >= 0 && d3 >= 0,
+        s"$mType round $round: dims must stay non-negative ($d1,$d2,$d3)")
+    }
+  }
+
+  test("crafted declared frame counts cannot explode the sampling fan-out") {
+    import spark.implicits._
+    // header-only AVI declaring Int.MaxValue frames, zero real frames
+    val bomb = encodeAvi(16, 16, Seq.empty, declared = Int.MaxValue)
+    val (_, _, d3, _) = MediaJob.decodeStub("video", bomb)
+    assert(d3 == Int.MaxValue, "declared count is reported as metadata")
+    val media = Seq(("m/bomb", "d1", "video", bomb))
+      .toDF("media_ref", "doc_id", "media_type", "bytes")
+    val viaDecoded = MediaJob.sampleFramesDecoded(spark, media, everyNth = 6).count()
+    assert(viaDecoded <= MediaJob.maxSampledFrames,
+      s"fallback fan-out must be capped, got $viaDecoded rows")
+    val feats = MediaJob.extractFeatures(spark, media)
+    val viaStub = MediaJob.sampleFrames(spark, feats, everyNth = 6).count()
+    assert(viaStub <= MediaJob.maxSampledFrames,
+      s"stub fan-out must be capped, got $viaStub rows")
+    assert(viaDecoded > 0 && viaStub > 0, "capped sampling still emits rows")
+  }
 }
