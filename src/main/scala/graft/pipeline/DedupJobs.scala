@@ -1,7 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Scale-hardened near-duplicate detection: parameterized banded MinHash-LSH
   * with a true-Jaccard verification stage (the corpus-scale form of the
@@ -191,8 +192,20 @@ object DedupJobs {
     *
     * Throws if `maxIter` rounds don't converge — truncation is never
     * silent. Returns (doc_id, component, cluster_size, is_canonical)
-    * for every doc that appears in at least one pair. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    * for every doc that appears in at least one pair.
+    *
+    * SIZE DISPATCH (`driverEdgeLimit`): the pair graph is the OUTPUT of
+    * near-dup verification — orders of magnitude smaller than the corpus
+    * (it holds only docs with a >=threshold match, not the corpus) — so
+    * most real graphs fit the driver comfortably. When the symmetrized
+    * edge count is within the limit, components are solved in one
+    * driver-local union-find pass (exact same labels: component = min
+    * member) instead of 4-6 barrier jobs of loop latency; above it, the
+    * distributed loop runs unchanged. The default limit (500k directed
+    * edges, <= ~50 MB of collected rows) matches the bounded-driver-work
+    * budget of the IVF trainer; pass 0 to force the distributed path. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          driverEdgeLimit: Long = 500000L): DataFrame = {
     // Iterative algorithms MUST truncate lineage per round: the stepped/
     // jumped plan references the previous round's plan several times, so
     // the logical tree doubles every round and Catalyst's re-analysis and
@@ -214,6 +227,10 @@ object DedupJobs {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
+    // One cheap count over the just-checkpointed blocks decides the path
+    // (see the SIZE DISPATCH note above).
+    if (driverEdgeLimit > 0 && sym.count() <= driverEdgeLimit)
+      return componentsDriverLocal(pairs.sparkSession, sym)
     // The FIRST neighbor-min round folds into label initialization:
     // comp0(v) = min(v, min N(v)) costs the same single shuffle that the
     // identity labeling needed anyway (distinct over src) — so near-clique
@@ -295,6 +312,58 @@ object DedupJobs {
     labels.select(col("id").as("doc_id"), col("comp").as("component"),
         count(lit(1)).over(byComp).as("cluster_size"),
         when(col("id") === col("comp"), 1).otherwise(0).cast("int").as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver-local exact components over a collected symmetrized edge table:
+    * path-compressing union-find, component named by its MIN member under
+    * the id column's natural ordering (Long/Int/String are all Comparable,
+    * and for the ASCII doc ids used here Java String order == Spark's UTF8
+    * binary order), then sizes + canonical flags computed locally — the
+    * result DataFrame is created in one shot with the SAME schema the
+    * distributed loop emits, so callers and oracles can't tell the paths
+    * apart. Zero Spark jobs beyond the collect. */
+  private def componentsDriverLocal(spark: SparkSession, sym: DataFrame): DataFrame = {
+    val idType = sym.schema("src").dataType
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression: repoint the walked chain at the root
+      while (parent.get(c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    sym.collect().foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(ra, rb)
+    }
+    def lt(x: Any, y: Any): Boolean =
+      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    val members = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
+    parent.keySet().forEach { id =>
+      members.computeIfAbsent(find(id), _ => new java.util.ArrayList[Any]()).add(id)
+    }
+    val rows = scala.collection.mutable.ArrayBuffer[Row]()
+    members.values().forEach { ms =>
+      var minId: Any = ms.get(0)
+      ms.forEach(id => if (lt(id, minId)) minId = id)
+      val size = ms.size().toLong
+      ms.forEach(id =>
+        rows += Row(id, minId, size, if (id == minId) 1 else 0))
+    }
+    // nullability mirrors the distributed loop's output exactly: doc_id
+    // inherits the symmetrized src column (non-null group key), component
+    // stays nullable (it flows out of a join+coalesce there)
+    val schema = StructType(Seq(
+      StructField("doc_id", idType, nullable = sym.schema("src").nullable),
+      StructField("component", idType),
+      StructField("cluster_size", LongType, nullable = false),
+      StructField("is_canonical", IntegerType, nullable = false)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), schema)
       .orderBy(col("doc_id"))
   }
 

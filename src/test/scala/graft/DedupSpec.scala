@@ -93,13 +93,33 @@ class DedupSpec extends AnyFunSuite {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
       (10L, 11L), (11L, 12L), (10L, 12L),
       (20L, 21L)).toDF("doc_a", "doc_b")
-    val out = DedupJobs.connectedComponents(pairs).collect()
-      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    // run BOTH dispatch paths: the driver-local union-find (default) and
+    // the distributed loop (driverEdgeLimit = 0) must be indistinguishable
+    for (limit <- Seq(500000L, 0L)) {
+      val out = DedupJobs.connectedComponents(pairs, driverEdgeLimit = limit)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+      DedupJobs.releaseCached()
+      assert(out.keySet == Set(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L))
+      Seq(1L, 2L, 3L, 4L).foreach(id => assert(out(id) == (1L, 4L, if (id == 1L) 1 else 0)))
+      Seq(10L, 11L, 12L).foreach(id => assert(out(id) == (10L, 3L, if (id == 10L) 1 else 0)))
+      Seq(20L, 21L).foreach(id => assert(out(id) == (20L, 2L, if (id == 20L) 1 else 0)))
+    }
+  }
+
+  test("components fast path == distributed loop on a random graph, schema included") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val pairs = (0 until 400).map(_ => (rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }.toDF("doc_a", "doc_b")
+    val fast = DedupJobs.connectedComponents(pairs)
+    val dist = DedupJobs.connectedComponents(pairs, driverEdgeLimit = 0L)
+    assert(fast.schema == dist.schema,
+      s"paths must emit one schema: ${fast.schema} vs ${dist.schema}")
+    val f = fast.collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    val d = dist.collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
     DedupJobs.releaseCached()
-    assert(out.keySet == Set(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L))
-    Seq(1L, 2L, 3L, 4L).foreach(id => assert(out(id) == (1L, 4L, if (id == 1L) 1 else 0)))
-    Seq(10L, 11L, 12L).foreach(id => assert(out(id) == (10L, 3L, if (id == 10L) 1 else 0)))
-    Seq(20L, 21L).foreach(id => assert(out(id) == (20L, 2L, if (id == 20L) 1 else 0)))
+    assert(f == d, "fast and distributed components disagree")
   }
 
   test("connected components: pointer jumping converges a 64-hop chain in few rounds") {
@@ -108,14 +128,17 @@ class DedupSpec extends AnyFunSuite {
     // needs 64 rounds; neighbor-min + path halving must do it well under the
     // default cap of 25
     val chain = (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val out = DedupJobs.connectedComponents(chain, maxIter = 25).collect()
+    // driverEdgeLimit = 0 forces the distributed loop — it is the unit
+    // under test here (the default would solve this driver-locally)
+    val out = DedupJobs.connectedComponents(chain, maxIter = 25,
+      driverEdgeLimit = 0L).collect()
     DedupJobs.releaseCached()
     assert(out.length == 65)
     assert(out.forall(_.getLong(1) == 0L), "every chain node labels to the min id")
     assert(out.forall(_.getLong(2) == 65L))
     // and an impossible round budget must throw, not silently truncate
     val err = intercept[IllegalArgumentException] {
-      DedupJobs.connectedComponents(chain, maxIter = 1).collect()
+      DedupJobs.connectedComponents(chain, maxIter = 1, driverEdgeLimit = 0L).collect()
     }
     DedupJobs.releaseCached()
     assert(err.getMessage.contains("did not converge"))
