@@ -674,7 +674,14 @@ object SparkEntry {
     // text itself. Spark runs the real geometry pipeline end-to-end. ------
     "q_layout_order" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // The synthetic block table is consumed by THREE aggregations
+      // (furniture bands, per-doc page counts, per-doc totals); without a
+      // materialization each consumer re-runs the word explode. A real
+      // deployment reads blocks from a (re-scannable, pushdown-friendly)
+      // table — one eager localCheckpoint is the synthetic stand-in's
+      // honest equivalent.
       val blocks = graft.pipeline.LayoutJob.synthesizeBlocks(s, docs)
+        .localCheckpoint()
       val kept = graft.pipeline.LayoutJob.removeFurniture(s, blocks)
       val ordered = graft.pipeline.LayoutJob.readingOrder(s, kept).toDF()
       val total = blocks.toDF().groupBy("doc_id").agg(count(lit(1)).as("n_total"))
