@@ -9,10 +9,11 @@ import org.apache.spark.sql.types._
   * is real, and so are the decoders for PNG (inflate + unfilter), baseline
   * JPEG (Huffman + IDCT), MJPEG-in-AVI frames, and WAV PCM — all written
   * from the public specs against plain byte arrays (the container has no
-  * image/audio libraries). Unsupported encodings (mp4/matroska, H.264,
-  * progressive JPEG, …) fall back to a deterministic fake feature behind
-  * real header dims, clearly marked below, so swapping in a further codec
-  * changes one function.
+  * image/audio libraries). MP4/ISO-BMFF gets a real metadata walk (moov →
+  * tkhd geometry + stsz frame count). Unsupported ENCODINGS (H.264 pixel
+  * payloads, matroska, progressive JPEG, …) fall back to a deterministic
+  * fake feature behind real header dims, clearly marked below, so
+  * swapping in a further codec changes one function.
   *
   * Scale notes: media bytes never pass through a shuffle — features are
   * computed in the scan stage (`mapPartitions` directly over the source
@@ -123,7 +124,117 @@ object MediaJob {
         case Some((w, h, n, _)) => return Some((w, h, n))
         case None => ()
       }
+    // MP4 / ISO-BMFF: an `ftyp` box leads; `moov` carries the video
+    // trak's tkhd geometry and stsz frame count. Header-only — the
+    // compressed payload (H.264 etc.) stays on the fold-feature tier.
+    if (b.length >= 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+        b(7) == 'p')
+      probeMp4(b) match {
+        case s @ Some(_) => return s
+        case None => ()
+      }
     None
+  }
+
+  /** One ISO-BMFF box header at `i` within `[i, until)`: returns
+    * (type, bodyStart, boxEnd) or None when malformed. Big-endian
+    * [size:u32][type:4cc]; size==1 → 64-bit largesize follows; size==0 →
+    * the box runs to the end of the enclosing scope (ISO/IEC 14496-12
+    * §4.2). All arithmetic in Long: sizes are UNTRUSTED bytes and a
+    * crafted u32 near 2^31 must not wrap the cursor (same failure class
+    * the WAV/AVI walks guard against). */
+  private def mp4Box(b: Array[Byte], i: Int, until: Int): Option[(String, Int, Int)] = {
+    if (i + 8 > until) return None
+    var size = u32be(b, i).toLong & 0xffffffffL
+    val typ = new String(b, i + 4, 4, "US-ASCII")
+    var body = i + 8
+    if (size == 1) {
+      if (i + 16 > until) return None
+      size = ((u32be(b, i + 8).toLong & 0xffffffffL) << 32) |
+        (u32be(b, i + 12).toLong & 0xffffffffL)
+      body = i + 16
+    } else if (size == 0) size = (until - i).toLong
+    val end = i.toLong + size
+    if (size < (body - i).toLong || end > until) return None
+    Some((typ, body, end.toInt))
+  }
+
+  /** First box matching the container `path` (e.g. mdia→minf→stbl→stsz),
+    * descending one level per path element: returns that box's
+    * (bodyStart, boxEnd). Depth is bounded by the literal path length. */
+  private def mp4Find(b: Array[Byte], from: Int, until: Int,
+                      path: List[String]): Option[(Int, Int)] = path match {
+    case Nil => Some((from, until))
+    case head :: rest =>
+      var j = from
+      while (j + 8 <= until) {
+        mp4Box(b, j, until) match {
+          case Some((typ, body, end)) =>
+            if (typ == head) return mp4Find(b, body, end, rest)
+            j = end
+          case None => return None
+        }
+      }
+      None
+  }
+
+  /** REAL ISO-BMFF (MP4/QuickTime) metadata walk — ISO/IEC 14496-12 is a
+    * public spec. Walks top-level boxes to `moov`, then each `trak`:
+    * `tkhd` carries 16.16-fixed presentation width/height (v0 at body
+    * offset 76, v1 at 88), `mdia/hdlr` names the handler (`vide` wins
+    * over non-video traks), `mdia/minf/stbl/stsz` carries the sample
+    * (frame) count. Returns (width, height, frames) for the selected
+    * video trak; None when the bytes aren't a parseable MP4 — geometry
+    * is untrusted, so non-positive dims fall through to the fold tier. */
+  private[graft] def probeMp4(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    try {
+      var i = 0
+      var moov: Option[(Int, Int)] = None
+      while (i + 8 <= b.length && moov.isEmpty) {
+        mp4Box(b, i, b.length) match {
+          case Some(("moov", body, end)) => moov = Some((body, end)); i = end
+          case Some((_, _, end)) => i = end
+          case None => return None
+        }
+      }
+      val (mFrom, mUntil) = moov.getOrElse(return None)
+      // best trak seen: (isVideoHandler, w, h, frames) — a `vide` handler
+      // beats a geometry-only match (audio traks have zero geometry, so
+      // in practice the first positive-geometry trak IS the video one).
+      var best: Option[(Boolean, Int, Int, Int)] = None
+      var j = mFrom
+      while (j + 8 <= mUntil) {
+        mp4Box(b, j, mUntil) match {
+          case Some(("trak", body, end)) =>
+            val geo = mp4Find(b, body, end, List("tkhd")).flatMap {
+              case (tb, te) if tb < te =>
+                val off = if ((b(tb) & 0xff) == 1) tb + 88 else tb + 76
+                if (off + 8 <= te) {
+                  val w = u32be(b, off) >>> 16   // 16.16 fixed → integer part
+                  val h = u32be(b, off + 4) >>> 16
+                  if (w > 0 && h > 0) Some((w, h)) else None
+                } else None
+              case _ => None
+            }
+            val isVideo = mp4Find(b, body, end, List("mdia", "hdlr")).exists {
+              case (hb, he) => hb + 12 <= he && b(hb + 8) == 'v' &&
+                b(hb + 9) == 'i' && b(hb + 10) == 'd' && b(hb + 11) == 'e'
+            }
+            val frames = mp4Find(b, body, end,
+              List("mdia", "minf", "stbl", "stsz")).collect {
+              case (sb, se) if sb + 12 <= se => math.max(0, u32be(b, sb + 8))
+            }.getOrElse(0)
+            geo.foreach { case (w, h) =>
+              if (best.forall(prev => isVideo && !prev._1))
+                best = Some((isVideo, w, h, frames))
+            }
+            j = end
+          case Some((_, _, end)) => j = end
+          case None => return None
+        }
+      }
+      best.map { case (_, w, h, n) => (w, h, n) }
+    } catch { case _: Exception => None } // corrupt input → fold tier
   }
 
   /** REAL PNG pixel decode (RFC 2083 — no codec library needed: zlib is
@@ -690,17 +801,19 @@ object MediaJob {
     *  4. WAV PCM → REAL sample decode ([[decodeWavRms]]: 16 window RMS
     *     energies);
     *  5. recognized container but unsupported encoding (progressive JPEG,
-    *     16-bit/interlaced PNG, compressed WAV, non-MJPEG AVI) → REAL
-    *     header dims ([[probeHeader]]) + the deterministic fold feature;
+    *     16-bit/interlaced PNG, compressed WAV, non-MJPEG AVI, MP4 with a
+    *     compressed codec payload) → REAL header dims ([[probeHeader]],
+    *     incl. the [[probeMp4]] moov walk) + the deterministic fold
+    *     feature;
     *  6. unrecognized bytes → fully faked dims + fold feature.
     *
     * ============================ STUB ================================
-    * Only tier 5-6's FEATURE VECTOR is faked (a stable byte fold): mp4/
-    * matroska demuxers and non-MJPEG video codecs (H.264 etc.) are out of
-    * scope to write from scratch in this container. PNG pixels,
-    * baseline-JPEG pixels, MJPEG-AVI frames and WAV PCM samples are all
-    * decoded for real above; swapping in further codecs extends the
-    * dispatch.
+    * Only tier 5-6's FEATURE VECTOR is faked (a stable byte fold):
+    * compressed video PIXEL codecs (H.264 etc.) and the matroska demux
+    * are out of scope to write from scratch in this container. PNG
+    * pixels, baseline-JPEG pixels, MJPEG-AVI frames and WAV PCM samples
+    * are all decoded for real above, and MP4 geometry/frame counts parse
+    * for real; swapping in further codecs extends the dispatch.
     * ================================================================== */
   def decodeStub(mediaType: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val b = if (bytes == null) Array.empty[Byte] else bytes

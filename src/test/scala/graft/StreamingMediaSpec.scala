@@ -558,6 +558,89 @@ class StreamingMediaSpec extends AnyFunSuite {
     assert(capped.exists(x => x._3 == 100 && x._4.length == 5))
   }
 
+  // Independent ISO-BMFF (MP4) assembler for the probeMp4 tests:
+  // big-endian [size:u32][4cc][body] boxes built bottom-up — a separate
+  // derivation of ISO/IEC 14496-12, so the kernel's walk is checked
+  // against it rather than against itself.
+  private def isoBox(typ: String, body: Array[Byte]): Array[Byte] =
+    be32(body.length + 8) ++ typ.getBytes("US-ASCII") ++ body
+  private def mp4Tkhd(w: Int, h: Int, version: Int): Array[Byte] = {
+    val timeFields = if (version == 1) 32 else 20 // creation/modification/id/reserved/duration
+    isoBox("tkhd", Array[Byte](version.toByte, 0, 0, 0) ++
+      Array.fill[Byte](timeFields)(0) ++
+      Array.fill[Byte](8)(0) ++  // reserved
+      Array.fill[Byte](8)(0) ++  // layer / alternate_group / volume / reserved
+      Array.fill[Byte](36)(0) ++ // unity matrix (zeros fine: probe ignores it)
+      be32(w << 16) ++ be32(h << 16)) // 16.16 fixed presentation size
+  }
+  private def mp4Trak(w: Int, h: Int, frames: Int, handler: String,
+                      tkhdVersion: Int = 0): Array[Byte] = {
+    val hdlr = isoBox("hdlr",
+      be32(0) ++ be32(0) ++ handler.getBytes("US-ASCII") ++ Array.fill[Byte](12)(0))
+    val stsz = isoBox("stsz", be32(0) ++ be32(0) ++ be32(frames))
+    val mdia = isoBox("mdia", hdlr ++ isoBox("minf", isoBox("stbl", stsz)))
+    isoBox("trak", mp4Tkhd(w, h, tkhdVersion) ++ mdia)
+  }
+  private def encodeMp4(traks: Array[Byte]*): Array[Byte] =
+    isoBox("ftyp", "isom".getBytes("US-ASCII") ++ be32(512) ++
+      "isomiso2".getBytes("US-ASCII")) ++
+      isoBox("moov", traks.toArray.flatten) ++
+      isoBox("mdat", Array.fill[Byte](48)(0x5a)) // opaque codec payload
+
+  test("probeMp4 walks moov → tkhd geometry + stsz frame count (v0 and v1 tkhd)") {
+    val mp4 = encodeMp4(mp4Trak(1920, 1080, 240, "vide"))
+    assert(MediaJob.probeMp4(mp4).contains((1920, 1080, 240)))
+    assert(MediaJob.probeHeader("video", mp4).contains((1920, 1080, 240)))
+    // tkhd version 1 shifts the geometry by the widened 64-bit time fields
+    val v1 = encodeMp4(mp4Trak(640, 360, 75, "vide", tkhdVersion = 1))
+    assert(MediaJob.probeMp4(v1).contains((640, 360, 75)))
+    // tier-5 dispatch: real probed dims + the deterministic fold feature
+    val (d1, d2, d3, feat) = MediaJob.decodeStub("video", mp4)
+    assert((d1, d2, d3) == (1920, 1080, 240) && feat.length == 16)
+  }
+
+  test("probeMp4 prefers the vide-handler trak over an earlier non-video trak") {
+    // a timed-text trak that happens to carry geometry leads the moov;
+    // the video trak must still win the selection
+    val mp4 = encodeMp4(
+      mp4Trak(100, 20, 9999, "text"),
+      mp4Trak(1280, 720, 120, "vide"))
+    assert(MediaJob.probeMp4(mp4).contains((1280, 720, 120)))
+    // audio traks carry zero geometry → skipped even when they lead
+    val withAudio = encodeMp4(
+      mp4Trak(0, 0, 44100, "soun"),
+      mp4Trak(320, 240, 30, "vide"))
+    assert(MediaJob.probeMp4(withAudio).contains((320, 240, 30)))
+  }
+
+  test("crafted MP4 box sizes cannot wrap the walk; malformed input degrades to the fold tier") {
+    val mp4 = encodeMp4(mp4Trak(64, 64, 10, "vide"))
+    // corrupt moov's size field to near 2^31: Long arithmetic must reject
+    // it (end > until), not wrap the cursor negative
+    val moovAt = mp4.indices.find(i => mp4(i) == 'm' && mp4(i + 1) == 'o' &&
+      mp4(i + 2) == 'o' && mp4(i + 3) == 'v').get - 4
+    val evil = mp4.clone()
+    evil(moovAt) = 0x7f.toByte; evil(moovAt + 1) = 0xff.toByte
+    evil(moovAt + 2) = 0xff.toByte; evil(moovAt + 3) = 0xff.toByte
+    assert(MediaJob.probeMp4(evil).isEmpty)
+    val (_, _, _, f1) = MediaJob.decodeStub("video", evil) // must not throw
+    assert(f1.length == 16 && f1.forall(v => !v.isNaN && !v.isInfinite))
+    // size == 1 → 64-bit largesize path: a largesize-framed moov parses
+    val moovBody = mp4.slice(moovAt + 8, mp4.length - 56) // moov body (mdat is 56 bytes)
+    val large = mp4.take(moovAt) ++
+      be32(1) ++ "moov".getBytes("US-ASCII") ++ be32(0) ++
+      be32(moovBody.length + 16) ++ moovBody
+    assert(MediaJob.probeMp4(large).contains((64, 64, 10)))
+    // size == 0 → box runs to end-of-scope (last top-level box)
+    val openEnded = mp4.take(mp4.length - 56).clone() // drop mdat: moov is last
+    openEnded(moovAt) = 0; openEnded(moovAt + 1) = 0
+    openEnded(moovAt + 2) = 0; openEnded(moovAt + 3) = 0
+    assert(MediaJob.probeMp4(openEnded).contains((64, 64, 10)))
+    // truncation anywhere never throws
+    for (cut <- Seq(3, 9, moovAt + 5, mp4.length - 7))
+      MediaJob.decodeStub("video", mp4.take(cut))
+  }
+
   test("resizeImagesDecoded: bilinear over real pixels — exact 2x box average, fallback for junk") {
     import spark.implicits._
     // 16x16 gray checkerboard (0/255): a 2x downscale with center mapping
@@ -667,7 +750,9 @@ class StreamingMediaSpec extends AnyFunSuite {
       (le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)) ++
       "data".getBytes ++ le32(wavData.length) ++ wavData
 
-    val seeds = Seq("image" -> png, "image" -> jpeg, "video" -> avi, "audio" -> wav)
+    val mp4 = encodeMp4(mp4Trak(24, 16, 12, "vide"))
+    val seeds = Seq("image" -> png, "image" -> jpeg, "video" -> avi,
+      "video" -> mp4, "audio" -> wav)
     def mutate(b: Array[Byte]): Array[Byte] = rng.nextInt(4) match {
       case 0 if b.nonEmpty => // flip 1-8 random bytes
         val m = b.clone()
