@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * is real, and so are the decoders for PNG (inflate + unfilter), baseline
   * JPEG (Huffman + IDCT), MJPEG-in-AVI frames, and WAV PCM — all written
   * from the public specs against plain byte arrays (the container has no
-  * image/audio libraries). MP4/ISO-BMFF gets a real metadata walk (moov →
-  * tkhd geometry + stsz frame count). Unsupported ENCODINGS (H.264 pixel
-  * payloads, matroska, progressive JPEG, …) fall back to a deterministic
-  * fake feature behind real header dims, clearly marked below, so
-  * swapping in a further codec changes one function.
+  * image/audio libraries). MP4/ISO-BMFF and Matroska/WebM get real
+  * metadata walks (moov → tkhd geometry + stsz frames; EBML Segment →
+  * Tracks geometry + per-cluster block counts). Unsupported ENCODINGS
+  * (H.264/VP9 pixel payloads, progressive JPEG, …) fall back to a
+  * deterministic fake feature behind real header dims, clearly marked
+  * below, so swapping in a further codec changes one function.
   *
   * Scale notes: media bytes never pass through a shuffle — features are
   * computed in the scan stage (`mapPartitions` directly over the source
@@ -133,6 +134,16 @@ object MediaJob {
         case s @ Some(_) => return s
         case None => ()
       }
+    // Matroska / WebM: EBML magic 1A 45 DF A3 leads; Segment → Tracks
+    // carries the video TrackEntry geometry, Clusters carry the frames.
+    // Header-only — the codec payload (VP9/H.264 …) stays on the
+    // fold-feature tier.
+    if (b.length >= 8 && (b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+        (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3)
+      probeMkv(b) match {
+        case s @ Some(_) => return s
+        case None => ()
+      }
     None
   }
 
@@ -234,6 +245,145 @@ object MediaJob {
         }
       }
       best.map { case (_, w, h, n) => (w, h, n) }
+    } catch { case _: Exception => None } // corrupt input → fold tier
+  }
+
+  /** One EBML variable-length integer at `i` within `[i, until)` (RFC
+    * 8794 §4): the leading byte's leading-zero count gives the width
+    * (1-8 bytes). Returns (value, width, allValueBitsOne) — for an
+    * element SIZE, all-ones means "unknown size: runs to end of scope";
+    * for an ID the caller keeps the marker bits by re-reading the raw
+    * bytes. Value assembled in Long; widths > 8 or truncation → None. */
+  private def ebmlVint(b: Array[Byte], i: Int, until: Int): Option[(Long, Int, Boolean)] = {
+    if (i >= until) return None
+    val first = b(i) & 0xff
+    if (first == 0) return None // width > 8: nothing in Matroska needs it
+    val n = Integer.numberOfLeadingZeros(first) - 23 // leading byte is bits 0-7
+    if (i.toLong + n > until) return None
+    var v = (first & (0xff >>> n)).toLong
+    var j = 1
+    while (j < n) { v = (v << 8) | (b(i + j) & 0xff); j += 1 }
+    Some((v, n, v == (1L << (7 * n)) - 1))
+  }
+
+  /** One EBML element header at `i`: (id, bodyStart, bodyEnd). The ID is
+    * the RAW marker-included bytes (the form the Matroska spec quotes,
+    * e.g. Segment = 0x18538067); an unknown-size body runs to the end of
+    * the enclosing scope (`until`) — legal for Segment/Cluster in
+    * streamed files. All arithmetic in Long: sizes are UNTRUSTED. */
+  private def ebmlElem(b: Array[Byte], i: Int, until: Int): Option[(Long, Int, Int)] = {
+    val (_, idW, _) = ebmlVint(b, i, until).getOrElse(return None)
+    var id = 0L
+    var j = 0
+    while (j < idW) { id = (id << 8) | (b(i + j) & 0xff); j += 1 }
+    val (size, szW, unknown) = ebmlVint(b, i + idW, until).getOrElse(return None)
+    val body = i + idW + szW
+    val end = if (unknown) until.toLong else body.toLong + size
+    if (end > until) None else Some((id, body, end.toInt))
+  }
+
+  /** Big-endian unsigned integer element body (≤ 8 bytes). */
+  private def ebmlUint(b: Array[Byte], from: Int, until: Int): Long = {
+    var v = 0L
+    var j = from
+    val stop = math.min(until.toLong, from.toLong + 8).toInt
+    while (j < stop) { v = (v << 8) | (b(j) & 0xff); j += 1 }
+    v
+  }
+
+  /** REAL Matroska/WebM metadata walk — RFC 8794 (EBML) and the public
+    * Matroska element registry. Walks Segment → Tracks for the first
+    * TrackEntry with TrackType 1 (video): Video/PixelWidth+PixelHeight
+    * is the geometry, TrackNumber keys the frame count — each Cluster's
+    * SimpleBlock (and BlockGroup/Block) whose leading track-number vint
+    * matches is one frame. Returns (width, height, frames); None when
+    * the bytes aren't a parseable Matroska stream. Codec payloads inside
+    * the blocks are never touched — this is metadata-only, the pixel
+    * tier stays on the fold feature. */
+  private[graft] def probeMkv(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    try {
+      // top level: EBML header element, then Segment (0x18538067)
+      var i = 0
+      var seg: Option[(Int, Int)] = None
+      while (i + 2 <= b.length && seg.isEmpty) {
+        ebmlElem(b, i, b.length) match {
+          case Some((0x18538067L, body, end)) => seg = Some((body, end))
+          case Some((_, _, end)) if end > i => i = end
+          case _ => return None
+        }
+      }
+      val (sFrom, sUntil) = seg.getOrElse(return None)
+      var w = 0; var h = 0; var videoTrack = -1L; var frames = 0
+      var j = sFrom
+      while (j + 2 <= sUntil) {
+        ebmlElem(b, j, sUntil) match {
+          case Some((0x1654AE6BL, tFrom, tUntil)) => // Tracks
+            var t = tFrom
+            while (t + 2 <= tUntil && videoTrack < 0) {
+              ebmlElem(b, t, tUntil) match {
+                case Some((0xAEL, eFrom, eUntil)) => // TrackEntry
+                  var num = -1L; var typ = -1L; var tw = 0; var th = 0
+                  var e = eFrom
+                  while (e + 2 <= eUntil) {
+                    ebmlElem(b, e, eUntil) match {
+                      case Some((0xD7L, f, u)) => num = ebmlUint(b, f, u); e = u
+                      case Some((0x83L, f, u)) => typ = ebmlUint(b, f, u); e = u
+                      case Some((0xE0L, vFrom, vUntil)) => // Video settings
+                        var v = vFrom
+                        while (v + 2 <= vUntil) {
+                          ebmlElem(b, v, vUntil) match {
+                            case Some((0xB0L, f, u)) =>
+                              tw = ebmlUint(b, f, u).toInt; v = u
+                            case Some((0xBAL, f, u)) =>
+                              th = ebmlUint(b, f, u).toInt; v = u
+                            case Some((_, _, u)) if u > v => v = u
+                            case _ => v = vUntil
+                          }
+                        }
+                        e = vUntil
+                      case Some((_, _, u)) if u > e => e = u
+                      case _ => e = eUntil
+                    }
+                  }
+                  if (typ == 1 && num > 0 && tw > 0 && th > 0) {
+                    videoTrack = num; w = tw; h = th
+                  }
+                  t = eUntil
+                case Some((_, _, u)) if u > t => t = u
+                case _ => t = tUntil
+              }
+            }
+            j = tUntil
+          case Some((0x1F43B675L, cFrom, cUntil)) => // Cluster
+            var c = cFrom
+            while (c + 2 <= cUntil) {
+              ebmlElem(b, c, cUntil) match {
+                case Some((0xA3L, f, u)) => // SimpleBlock: leading vint = track
+                  if (ebmlVint(b, f, u).exists(_._1 == videoTrack)) frames += 1
+                  c = u
+                case Some((0xA0L, gFrom, gUntil)) => // BlockGroup → Block
+                  var g = gFrom
+                  while (g + 2 <= gUntil) {
+                    ebmlElem(b, g, gUntil) match {
+                      case Some((0xA1L, f, u)) =>
+                        if (ebmlVint(b, f, u).exists(_._1 == videoTrack))
+                          frames += 1
+                        g = u
+                      case Some((_, _, u)) if u > g => g = u
+                      case _ => g = gUntil
+                    }
+                  }
+                  c = gUntil
+                case Some((_, _, u)) if u > c => c = u
+                case _ => c = cUntil
+              }
+            }
+            j = cUntil
+          case Some((_, _, end)) if end > j => j = end
+          case _ => j = sUntil
+        }
+      }
+      if (videoTrack > 0) Some((w, h, frames)) else None
     } catch { case _: Exception => None } // corrupt input → fold tier
   }
 
@@ -801,19 +951,19 @@ object MediaJob {
     *  4. WAV PCM → REAL sample decode ([[decodeWavRms]]: 16 window RMS
     *     energies);
     *  5. recognized container but unsupported encoding (progressive JPEG,
-    *     16-bit/interlaced PNG, compressed WAV, non-MJPEG AVI, MP4 with a
-    *     compressed codec payload) → REAL header dims ([[probeHeader]],
-    *     incl. the [[probeMp4]] moov walk) + the deterministic fold
-    *     feature;
+    *     16-bit/interlaced PNG, compressed WAV, non-MJPEG AVI, MP4/
+    *     Matroska with a compressed codec payload) → REAL header dims
+    *     ([[probeHeader]], incl. the [[probeMp4]] moov walk and the
+    *     [[probeMkv]] EBML walk) + the deterministic fold feature;
     *  6. unrecognized bytes → fully faked dims + fold feature.
     *
     * ============================ STUB ================================
     * Only tier 5-6's FEATURE VECTOR is faked (a stable byte fold):
-    * compressed video PIXEL codecs (H.264 etc.) and the matroska demux
-    * are out of scope to write from scratch in this container. PNG
-    * pixels, baseline-JPEG pixels, MJPEG-AVI frames and WAV PCM samples
-    * are all decoded for real above, and MP4 geometry/frame counts parse
-    * for real; swapping in further codecs extends the dispatch.
+    * compressed video PIXEL codecs (H.264/VP9 etc.) are out of scope to
+    * write from scratch in this container. PNG pixels, baseline-JPEG
+    * pixels, MJPEG-AVI frames and WAV PCM samples are all decoded for
+    * real above, and MP4/Matroska geometry/frame counts parse for real;
+    * swapping in further codecs extends the dispatch.
     * ================================================================== */
   def decodeStub(mediaType: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val b = if (bytes == null) Array.empty[Byte] else bytes

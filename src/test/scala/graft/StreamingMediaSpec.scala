@@ -641,6 +641,108 @@ class StreamingMediaSpec extends AnyFunSuite {
       MediaJob.decodeStub("video", mp4.take(cut))
   }
 
+  // Independent EBML/Matroska assembler for the probeMkv tests — a
+  // separate bottom-up derivation of RFC 8794 + the public Matroska
+  // element registry, so the kernel's walk is checked against it rather
+  // than against itself.
+  private def ebmlVintBytes(v: Long): Array[Byte] = {
+    var n = 1
+    while (v >= (1L << (7 * n)) - 1) n += 1 // all-ones is reserved (unknown size)
+    val out = new Array[Byte](n)
+    var x = v | (1L << (7 * n))
+    var j = n - 1
+    while (j >= 0) { out(j) = (x & 0xff).toByte; x >>>= 8; j -= 1 }
+    out
+  }
+  private def beBytes(v: Long): Array[Byte] = {
+    var n = 1
+    while ((v >>> (8 * n)) != 0) n += 1
+    val out = new Array[Byte](n)
+    var x = v
+    var j = n - 1
+    while (j >= 0) { out(j) = (x & 0xff).toByte; x >>>= 8; j -= 1 }
+    out
+  }
+  /** One EBML element: raw marker-included id bytes ++ size vint ++ body. */
+  private def ebmlEl(id: Long, body: Array[Byte]): Array[Byte] =
+    beBytes(id) ++ ebmlVintBytes(body.length.toLong) ++ body
+  private def mkvTrackEntry(num: Long, typ: Long, w: Int, h: Int): Array[Byte] =
+    ebmlEl(0xAEL,
+      ebmlEl(0xD7L, beBytes(num)) ++ ebmlEl(0x83L, beBytes(typ)) ++
+        (if (w > 0) ebmlEl(0xE0L,
+          ebmlEl(0xB0L, beBytes(w)) ++ ebmlEl(0xBAL, beBytes(h)))
+         else Array.empty[Byte]))
+  private def mkvSimpleBlock(track: Long): Array[Byte] =
+    ebmlEl(0xA3L, ebmlVintBytes(track) ++
+      Array[Byte](0, 0, 0) ++ Array.fill[Byte](6)(0x42)) // ts+flags+payload
+  private def encodeMkv(tracks: Array[Byte], clusters: Array[Byte]*): Array[Byte] =
+    ebmlEl(0x1A45DFA3L, ebmlEl(0x4282L, "webm".getBytes("US-ASCII"))) ++
+      ebmlEl(0x18538067L,
+        ebmlEl(0x1654AE6BL, tracks) ++ clusters.toArray.flatten)
+
+  test("probeMkv walks Segment → Tracks geometry + per-cluster block frame count") {
+    val mkv = encodeMkv(
+      mkvTrackEntry(1, 1, 1920, 1080),
+      ebmlEl(0x1F43B675L, mkvSimpleBlock(1) ++ mkvSimpleBlock(1)),
+      ebmlEl(0x1F43B675L, mkvSimpleBlock(1)))
+    assert(MediaJob.probeMkv(mkv).contains((1920, 1080, 3)))
+    assert(MediaJob.probeHeader("video", mkv).contains((1920, 1080, 3)))
+    // tier-5 dispatch: real probed dims + the deterministic fold feature
+    val (d1, d2, d3, feat) = MediaJob.decodeStub("video", mkv)
+    assert((d1, d2, d3) == (1920, 1080, 3) && feat.length == 16)
+    // BlockGroup → Block frames count the same as SimpleBlocks
+    val grouped = encodeMkv(
+      mkvTrackEntry(1, 1, 640, 360),
+      ebmlEl(0x1F43B675L,
+        ebmlEl(0xA0L, ebmlEl(0xA1L, ebmlVintBytes(1L) ++
+          Array[Byte](0, 0, 0) ++ Array.fill[Byte](4)(0x17))) ++
+          mkvSimpleBlock(1)))
+    assert(MediaJob.probeMkv(grouped).contains((640, 360, 2)))
+  }
+
+  test("probeMkv keys frames on the VIDEO track and skips non-video tracks") {
+    // audio track leads (type 2, no geometry); its blocks must not count
+    val mkv = encodeMkv(
+      mkvTrackEntry(2, 2, 0, 0) ++ mkvTrackEntry(1, 1, 1280, 720),
+      ebmlEl(0x1F43B675L,
+        mkvSimpleBlock(2) ++ mkvSimpleBlock(1) ++ mkvSimpleBlock(2)))
+    assert(MediaJob.probeMkv(mkv).contains((1280, 720, 1)))
+    // no video track at all → None (falls to the fold tier, not a crash)
+    val audioOnly = encodeMkv(
+      mkvTrackEntry(2, 2, 0, 0),
+      ebmlEl(0x1F43B675L, mkvSimpleBlock(2)))
+    assert(MediaJob.probeMkv(audioOnly).isEmpty)
+    val (_, _, _, f) = MediaJob.decodeStub("video", audioOnly)
+    assert(f.length == 16 && f.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
+  test("crafted EBML sizes cannot wrap the walk; unknown-size Segment and truncation degrade safely") {
+    val mkv = encodeMkv(
+      mkvTrackEntry(1, 1, 64, 48),
+      ebmlEl(0x1F43B675L, mkvSimpleBlock(1)))
+    // unknown-size Segment (size vint = all-ones): body runs to EOF —
+    // the streamed-file form. Rebuild with 0xFF as the Segment size.
+    val segIdAt = mkv.indices.find(i => (mkv(i) & 0xff) == 0x18 &&
+      (mkv(i + 1) & 0xff) == 0x53 && (mkv(i + 2) & 0xff) == 0x80 &&
+      (mkv(i + 3) & 0xff) == 0x67).get
+    val segSizeW = {
+      val first = mkv(segIdAt + 4) & 0xff
+      Integer.numberOfLeadingZeros(first) - 23
+    }
+    val streamed = mkv.take(segIdAt + 4) ++ Array(0xff.toByte) ++
+      mkv.drop(segIdAt + 4 + segSizeW)
+    assert(MediaJob.probeMkv(streamed).contains((64, 48, 1)))
+    // corrupt the Segment size to a huge value: Long arithmetic must
+    // reject it (end > until), never wrap the cursor
+    val evil = mkv.clone()
+    evil(segIdAt + 4) = 0x41.toByte // width-2 vint claiming ~0x1ff bytes
+    evil(segIdAt + 5) = 0xff.toByte
+    assert(MediaJob.probeMkv(evil).isEmpty)
+    // truncation anywhere never throws, and decodeStub stays total
+    for (cut <- Seq(2, 5, segIdAt + 6, mkv.length - 3))
+      MediaJob.decodeStub("video", mkv.take(cut))
+  }
+
   test("resizeImagesDecoded: bilinear over real pixels — exact 2x box average, fallback for junk") {
     import spark.implicits._
     // 16x16 gray checkerboard (0/255): a 2x downscale with center mapping
@@ -751,8 +853,11 @@ class StreamingMediaSpec extends AnyFunSuite {
       "data".getBytes ++ le32(wavData.length) ++ wavData
 
     val mp4 = encodeMp4(mp4Trak(24, 16, 12, "vide"))
+    val mkv = encodeMkv(
+      mkvTrackEntry(1, 1, 24, 16),
+      ebmlEl(0x1F43B675L, mkvSimpleBlock(1) ++ mkvSimpleBlock(1)))
     val seeds = Seq("image" -> png, "image" -> jpeg, "video" -> avi,
-      "video" -> mp4, "audio" -> wav)
+      "video" -> mp4, "video" -> mkv, "audio" -> wav)
     def mutate(b: Array[Byte]): Array[Byte] = rng.nextInt(4) match {
       case 0 if b.nonEmpty => // flip 1-8 random bytes
         val m = b.clone()
