@@ -387,29 +387,43 @@ object MediaJob {
     } catch { case _: Exception => None } // corrupt input → fold tier
   }
 
+  /** Adam7 pass geometry: (xStart, yStart, xStep, yStep) per RFC 2083
+    * §2.6. Non-interlaced images decode as the single pass (0,0,1,1). */
+  private val adam7 = Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+    (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   /** REAL PNG pixel decode (RFC 2083 — no codec library needed: zlib is
     * `java.util.zip.Inflater`): parses IHDR/PLTE/IDAT, inflates, reverses
     * the five per-row filters (None/Sub/Up/Average/Paeth), and returns
-    * (width, height, channels, luminance rows). Supports the common
-    * non-interlaced 8-bit-depth color types — 0 grayscale, 2 RGB,
-    * 3 palette, 4 gray+alpha, 6 RGBA. Returns None for anything else
-    * (16-bit, interlaced, malformed) — callers fall back to header dims. */
+    * (width, height, channels, luminance rows). Covers the FULL spec
+    * lattice: color types 0 grayscale, 2 RGB, 3 palette, 4 gray+alpha,
+    * 6 RGBA at every legal bit depth (1/2/4/8/16), interlace methods 0
+    * and 1 (Adam7 — each pass is an independently filtered sub-image
+    * whose pixels scatter back on the pass grid). 16-bit samples reduce
+    * to their high byte; sub-8-bit grayscale scales to [0,255]. Returns
+    * None for malformed input — callers fall back to header dims. */
   private[graft] def decodePngLuma(b: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
-    if (b == null || b.length < 24 || (b(0) & 0xff) != 0x89 || b(1) != 'P' ||
+    if (b == null || b.length < 29 || (b(0) & 0xff) != 0x89 || b(1) != 'P' ||
         b(2) != 'N' || b(3) != 'G') return None
     try {
       val w = u32be(b, 16); val h = u32be(b, 20)
-      val bitDepth = b(24) & 0xff; val colorType = b(25) & 0xff
+      val d = b(24) & 0xff; val colorType = b(25) & 0xff
       val interlace = b(28) & 0xff
-      if (bitDepth != 8 || interlace != 0 || w <= 0 || h <= 0) return None
+      if (w <= 0 || h <= 0 || interlace > 1) return None
+      // legal depth lattice per color type (RFC 2083 §4.1.1)
       val channels = colorType match {
-        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case 0 if d == 1 || d == 2 || d == 4 || d == 8 || d == 16 => 1
+        case 2 if d == 8 || d == 16                               => 3
+        case 3 if d == 1 || d == 2 || d == 4 || d == 8            => 1
+        case 4 if d == 8 || d == 16                               => 2
+        case 6 if d == 8 || d == 16                               => 4
         case _ => return None
       }
-      // Bound total transient allocation (raw bytes + Int px + Float luma),
-      // channel-aware: a few-KB crafted RGBA header claiming 64M px must not
-      // trigger ~1.5 GB of allocation per concurrent task on untrusted bytes.
-      if (w.toLong * h * channels > 64L * 1024 * 1024) return None
+      // Bound total transient allocation (raw bytes + Int rows + Float
+      // luma), channel- and depth-aware: a few-KB crafted RGBA header
+      // claiming 64M px must not trigger ~GBs of allocation per
+      // concurrent task on untrusted bytes.
+      if (w.toLong * h * channels * ((d + 7) / 8) > 64L * 1024 * 1024) return None
       // walk chunks: concatenate IDAT, keep PLTE for color type 3
       var palette: Array[Byte] = null
       val idat = new java.io.ByteArrayOutputStream()
@@ -429,10 +443,19 @@ object MediaJob {
       }
       if (idat.size() == 0) return None
       if (colorType == 3 && palette == null) return None
-      // inflate to h rows of (1 filter byte + w*channels)
-      val bpp = channels
-      val stride = w * bpp
-      val raw = new Array[Byte](h * (1 + stride))
+      // pass list: Adam7 sub-images, or the whole image as one pass.
+      // Each entry is (xStart, yStart, xStep, yStep, passW, passH).
+      val passes = (if (interlace == 1) adam7 else Array((0, 0, 1, 1)))
+        .map { case (x0, y0, dx, dy) =>
+          (x0, y0, dx, dy, (w - x0 + dx - 1) / dx, (h - y0 + dy - 1) / dy)
+        }
+        .filter { case (_, _, _, _, pw, ph) => pw > 0 && ph > 0 }
+      // one zlib stream covers all passes back to back
+      val rawLen = passes.map { case (_, _, _, _, pw, ph) =>
+        ph.toLong * (1 + (pw.toLong * channels * d + 7) / 8)
+      }.sum
+      if (rawLen > 96L * 1024 * 1024) return None
+      val raw = new Array[Byte](rawLen.toInt)
       // end() in finally: early returns / malformed input must not leak
       // native zlib memory until GC finalization.
       val inf = new java.util.zip.Inflater()
@@ -447,51 +470,75 @@ object MediaJob {
         }
       } finally inf.end()
       if (off < raw.length) return None
-      // reverse per-row filters in place over the pixel bytes
-      val px = new Array[Int](h * stride)
       def paeth(a: Int, bb: Int, c: Int): Int = {
         val p = a + bb - c
         val pa = math.abs(p - a); val pb = math.abs(p - bb); val pc = math.abs(p - c)
         if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
       }
-      var y = 0
-      while (y < h) {
-        val f = raw(y * (1 + stride)) & 0xff
-        val rowOff = y * (1 + stride) + 1
-        var x = 0
-        while (x < stride) {
-          val cur = raw(rowOff + x) & 0xff
-          val left = if (x >= bpp) px(y * stride + x - bpp) else 0
-          val up = if (y > 0) px((y - 1) * stride + x) else 0
-          val ul = if (y > 0 && x >= bpp) px((y - 1) * stride + x - bpp) else 0
-          px(y * stride + x) = f match {
-            case 0 => cur
-            case 1 => (cur + left) & 0xff
-            case 2 => (cur + up) & 0xff
-            case 3 => (cur + (left + up) / 2) & 0xff
-            case 4 => (cur + paeth(left, up, ul)) & 0xff
-            case _ => return None
-          }
-          x += 1
-        }
-        y += 1
-      }
-      // luminance per pixel (BT.601 for color; palette resolved first)
+      // raw channel sample → 8-bit luma contribution
+      val maxSub = (1 << (if (d < 8) d else 8)) - 1
+      def scale8(s: Int): Float =
+        if (d == 16) (s >> 8).toFloat
+        else if (d == 8) s.toFloat
+        else s * 255.0f / maxSub
       val luma = new Array[Float](w * h)
-      var p = 0
-      while (p < w * h) {
-        val o = p * bpp
-        luma(p) = colorType match {
-          case 0 | 4 => px(o).toFloat
-          case 2 | 6 =>
-            0.299f * px(o) + 0.587f * px(o + 1) + 0.114f * px(o + 2)
-          case 3 =>
-            val pi = px(o) * 3
-            if (pi + 2 >= palette.length) return None
-            0.299f * (palette(pi) & 0xff) + 0.587f * (palette(pi + 1) & 0xff) +
-              0.114f * (palette(pi + 2) & 0xff)
+      val fbpp = math.max(1, channels * d / 8) // filter step, bytes (≥1)
+      var rawOff = 0
+      passes.foreach { case (x0, y0, dx, dy, pw, ph) =>
+        val rb = ((pw.toLong * channels * d + 7) / 8).toInt // row bytes
+        // unfilter this pass's rows (prior row = previous row IN-PASS)
+        val un = new Array[Int](ph * rb)
+        var y = 0
+        while (y < ph) {
+          val f = raw(rawOff + y * (1 + rb)) & 0xff
+          val rowOff = rawOff + y * (1 + rb) + 1
+          var x = 0
+          while (x < rb) {
+            val cur = raw(rowOff + x) & 0xff
+            val left = if (x >= fbpp) un(y * rb + x - fbpp) else 0
+            val up = if (y > 0) un((y - 1) * rb + x) else 0
+            val ul = if (y > 0 && x >= fbpp) un((y - 1) * rb + x - fbpp) else 0
+            un(y * rb + x) = f match {
+              case 0 => cur
+              case 1 => (cur + left) & 0xff
+              case 2 => (cur + up) & 0xff
+              case 3 => (cur + (left + up) / 2) & 0xff
+              case 4 => (cur + paeth(left, up, ul)) & 0xff
+              case _ => return None
+            }
+            x += 1
+          }
+          y += 1
         }
-        p += 1
+        rawOff += ph * (1 + rb)
+        // sample channel c of pixel k in an unfiltered row (MSB-first
+        // bit packing below 8 bits; big-endian pairs at 16)
+        def sample(row: Int, k: Int, c: Int): Int = {
+          val s = k * channels + c
+          if (d == 16) (un(row * rb + s * 2) << 8) | un(row * rb + s * 2 + 1)
+          else if (d == 8) un(row * rb + s)
+          else (un(row * rb + s * d / 8) >> (8 - d - s * d % 8)) & maxSub
+        }
+        // scatter this pass's pixels onto the full-image grid as luma
+        y = 0
+        while (y < ph) {
+          var k = 0
+          while (k < pw) {
+            val at = (y0 + y * dy) * w + (x0 + k * dx)
+            luma(at) = colorType match {
+              case 0 | 4 => scale8(sample(y, k, 0))
+              case 2 | 6 => 0.299f * scale8(sample(y, k, 0)) +
+                0.587f * scale8(sample(y, k, 1)) + 0.114f * scale8(sample(y, k, 2))
+              case 3 =>
+                val pi = sample(y, k, 0) * 3
+                if (pi + 2 >= palette.length) return None
+                0.299f * (palette(pi) & 0xff) + 0.587f * (palette(pi + 1) & 0xff) +
+                  0.114f * (palette(pi + 2) & 0xff)
+            }
+            k += 1
+          }
+          y += 1
+        }
       }
       Some((w, h, channels, luma))
     } catch { case _: Exception => None }
@@ -951,7 +998,7 @@ object MediaJob {
     *  4. WAV PCM → REAL sample decode ([[decodeWavRms]]: 16 window RMS
     *     energies);
     *  5. recognized container but unsupported encoding (progressive JPEG,
-    *     16-bit/interlaced PNG, compressed WAV, non-MJPEG AVI, MP4/
+    *     compressed WAV, non-MJPEG AVI, MP4/
     *     Matroska with a compressed codec payload) → REAL header dims
     *     ([[probeHeader]], incl. the [[probeMp4]] moov walk and the
     *     [[probeMkv]] EBML walk) + the deterministic fold feature;

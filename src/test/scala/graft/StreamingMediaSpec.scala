@@ -89,17 +89,20 @@ class StreamingMediaSpec extends AnyFunSuite {
     crc.update(typ.getBytes("US-ASCII")); crc.update(data)
     be32(data.length) ++ typ.getBytes("US-ASCII") ++ data ++ be32(crc.getValue.toInt)
   }
-  private def encodePng(w: Int, h: Int, colorType: Int,
-                        raw: Array[Byte]): Array[Byte] = {
+  private def encodePng(w: Int, h: Int, colorType: Int, raw: Array[Byte],
+                        bitDepth: Int = 8, interlace: Int = 0,
+                        palette: Array[Byte] = null): Array[Byte] = {
     val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
-    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
+    val ihdr = be32(w) ++ be32(h) ++
+      Array[Byte](bitDepth.toByte, colorType.toByte, 0, 0, interlace.toByte)
     val d = new java.util.zip.Deflater()
     d.setInput(raw); d.finish()
     val buf = new Array[Byte](raw.length + 128)
     val n = d.deflate(buf)
     d.end()
-    sig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", buf.take(n)) ++
-      pngChunk("IEND", Array.empty[Byte])
+    sig ++ pngChunk("IHDR", ihdr) ++
+      (if (palette != null) pngChunk("PLTE", palette) else Array.empty[Byte]) ++
+      pngChunk("IDAT", buf.take(n)) ++ pngChunk("IEND", Array.empty[Byte])
   }
 
   test("PNG pixel decode: inflate + unfilter recovers known pixels (RGB, filter 0)") {
@@ -160,6 +163,75 @@ class StreamingMediaSpec extends AnyFunSuite {
     for (y <- 0 until 4; x <- 0 until 4)
       assert(math.abs(feat(y * 4 + x) - (px(y)(x) / 255.0f - 0.5f)) < 1e-4,
         s"pixel ($y,$x) not recovered: ${feat(y * 4 + x)}")
+  }
+
+  test("PNG 16-bit grayscale: big-endian pairs, 2-byte filter step, high-byte reduction") {
+    val w = 4; val h = 2
+    // low bytes deliberately non-zero: reduction must take the HIGH byte
+    val px = Array(Array(0x1020, 0x3040, 0x5060, 0x7080),
+                   Array(0x20ff, 0x4001, 0x60aa, 0x8055))
+    val raw = new scala.collection.mutable.ArrayBuffer[Byte]()
+    raw += 0 // row 0: filter None, raw big-endian pairs
+    for (x <- 0 until w) { raw += (px(0)(x) >> 8).toByte; raw += (px(0)(x) & 0xff).toByte }
+    raw += 1 // row 1: filter Sub — the byte step must be 2 (one 16-bit sample)
+    val row1 = px(1).flatMap(v => Seq((v >> 8).toByte, (v & 0xff).toByte))
+    for (i <- row1.indices) {
+      val left = if (i >= 2) row1(i - 2) & 0xff else 0
+      raw += (((row1(i) & 0xff) - left) & 0xff).toByte
+    }
+    val png = encodePng(w, h, 0, raw.toArray, bitDepth = 16)
+    val (dw, dh, ch, luma) = MediaJob.decodePngLuma(png).get
+    assert((dw, dh, ch) == (4, 2, 1))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(luma(y * w + x) == (px(y)(x) >> 8).toFloat, s"($y,$x): ${luma(y * w + x)}")
+  }
+
+  test("PNG sub-8-bit depths: 1-bit grayscale scales to 0/255; 4-bit palette indexes PLTE") {
+    // 8x2 1-bit checkerboard: bits pack MSB-first, one byte per row
+    val png1 = encodePng(8, 2, 0, Array[Byte](0, 0xaa.toByte, 0, 0x55), bitDepth = 1)
+    val (w1, h1, _, luma1) = MediaJob.decodePngLuma(png1).get
+    assert((w1, h1) == (8, 2))
+    for (x <- 0 until 8) {
+      assert(luma1(x) == (if (x % 2 == 0) 255f else 0f), s"row0 x=$x") // 0xaa
+      assert(luma1(8 + x) == (if (x % 2 == 0) 0f else 255f), s"row1 x=$x") // 0x55
+    }
+    // 3x1 4-bit palette (odd width: the row pads to a whole byte):
+    // indices 0,1,2 → gray PLTE entries 0/100/200
+    val plte = Array[Byte](0, 0, 0, 100, 100, 100, 200.toByte, 200.toByte, 200.toByte)
+    val png4 = encodePng(3, 1, 3, Array[Byte](0, 0x01, 0x20), bitDepth = 4, palette = plte)
+    val (w4, _, _, luma4) = MediaJob.decodePngLuma(png4).get
+    assert(w4 == 3)
+    for ((expect, x) <- Seq(0f, 100f, 200f).zipWithIndex)
+      assert(math.abs(luma4(x) - expect) < 1e-3, s"palette pixel $x: ${luma4(x)}")
+  }
+
+  test("PNG Adam7 interlace: independently-filtered passes scatter back exactly") {
+    val adam7 = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    // 8x8 covers every pass; 5x3 leaves some passes empty (they must
+    // contribute zero bytes on both sides)
+    for ((w, h) <- Seq((8, 8), (5, 3))) {
+      val px = Array.tabulate(h, w)((y, x) => (y * w + x) * 7 % 256)
+      val raw = new scala.collection.mutable.ArrayBuffer[Byte]()
+      for ((x0, y0, dx, dy) <- adam7) {
+        val xs = x0 until w by dx
+        var prev: Array[Int] = null
+        if (xs.nonEmpty) for (y <- y0 until h by dy) {
+          val row = xs.map(px(y)(_)).toArray
+          if (prev == null) { raw += 0; row.foreach(v => raw += v.toByte) }
+          else { // filter Up INSIDE the pass: prior row is the pass's own
+            raw += 2
+            for (i <- row.indices) raw += ((row(i) - prev(i)) & 0xff).toByte
+          }
+          prev = row
+        }
+      }
+      val png = encodePng(w, h, 0, raw.toArray, interlace = 1)
+      val (dw, dh, ch, luma) = MediaJob.decodePngLuma(png).get
+      assert((dw, dh, ch) == (w, h, 1), s"${w}x$h")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(luma(y * w + x) == px(y)(x).toFloat, s"${w}x$h ($y,$x)")
+    }
   }
 
   // ---------------------------------------------------- independent JPEG
@@ -856,8 +928,20 @@ class StreamingMediaSpec extends AnyFunSuite {
     val mkv = encodeMkv(
       mkvTrackEntry(1, 1, 24, 16),
       ebmlEl(0x1F43B675L, mkvSimpleBlock(1) ++ mkvSimpleBlock(1)))
-    val seeds = Seq("image" -> png, "image" -> jpeg, "video" -> avi,
-      "video" -> mp4, "video" -> mkv, "audio" -> wav)
+    // a VALID Adam7-interlaced 16-bit PNG (per-pass raw layout) reaches
+    // the pass-geometry and wide-sample branches of the decoder
+    val rawI16 = new scala.collection.mutable.ArrayBuffer[Byte]()
+    for ((x0, y0, dx, dy) <- Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+           (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2));
+         y <- y0 until 8 by dy) {
+      rawI16 += 0
+      for (x <- x0 until 8 by dx) {
+        rawI16 += ((x * 31 + y * 53) % 256).toByte; rawI16 += ((x + y) % 256).toByte
+      }
+    }
+    val pngI16 = encodePng(8, 8, 0, rawI16.toArray, bitDepth = 16, interlace = 1)
+    val seeds = Seq("image" -> png, "image" -> pngI16, "image" -> jpeg,
+      "video" -> avi, "video" -> mp4, "video" -> mkv, "audio" -> wav)
     def mutate(b: Array[Byte]): Array[Byte] = rng.nextInt(4) match {
       case 0 if b.nonEmpty => // flip 1-8 random bytes
         val m = b.clone()
