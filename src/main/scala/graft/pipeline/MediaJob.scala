@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
   * image/audio libraries). MP4/ISO-BMFF and Matroska/WebM get real
   * metadata walks (moov → tkhd geometry + stsz frames; EBML Segment →
   * Tracks geometry + per-cluster block counts). Unsupported ENCODINGS
-  * (H.264/VP9 pixel payloads, progressive JPEG, …) fall back to a
+  * (H.264/VP9 pixel payloads, …) fall back to a
   * deterministic fake feature behind real header dims, clearly marked
   * below, so swapping in a further codec changes one function.
   *
@@ -644,10 +644,10 @@ object MediaJob {
     * needed for the grid feature; subsampled chroma blocks are decoded
     * only to advance the bitstream). Supports baseline sequential (SOF0),
     * 8-bit, 1 or 3 components at any h/v sampling ≤ 2 (covers 4:4:4,
-    * 4:2:2, 4:2:0 and grayscale). Returns None for progressive (SOF2),
-    * arithmetic coding, 12-bit, or malformed streams — callers fall back
-    * to the header/fold tier. Closes the round-4 verdict-#6 stub; video
-    * frame decode is the one remaining fake. */
+    * 4:2:2, 4:2:0 and grayscale); progressive (SOF2) dispatches to
+    * [[decodeJpegProgressive]]. Returns None for arithmetic coding,
+    * 12-bit, or malformed streams — callers fall back to the header/fold
+    * tier. Closes the round-4 verdict-#6 stub. */
   private[graft] def decodeJpegLuma(b: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
     if (b == null || b.length < 4 || (b(0) & 0xff) != 0xff ||
         (b(1) & 0xff) != 0xd8) return None
@@ -688,9 +688,11 @@ object MediaJob {
                   compQ(c) > 3) return None
               c += 1
             }
-          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+          case 0xc2 => // progressive DCT: its own multi-scan decode path
+            return decodeJpegProgressive(b)
+          case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
                0xcb | 0xcd | 0xce | 0xcf =>
-            return None // non-baseline SOF (progressive/arithmetic/...)
+            return None // non-baseline SOF (extended/arithmetic/lossless)
           case 0xdb => // DQT: one or more tables in the segment
             var o = seg
             while (o < i + 2 + len) {
@@ -848,6 +850,362 @@ object MediaJob {
     } catch { case _: Exception => None }
   }
 
+  /** REAL progressive-JPEG pixel decode (ITU T.81 Annex G, Huffman only):
+    * spectral-selection bands and successive-approximation bit planes
+    * accumulate across scans into a LUMA coefficient plane, then one
+    * dequantize + IDCT pass renders the pixels. Chroma is never stored:
+    * non-interleaved chroma scans are byte-skipped to the next marker
+    * (scans are self-delimiting), and interleaved DC scans Huffman-decode
+    * chroma only to keep bit position. Same support envelope as the
+    * baseline path (8-bit, 1 or 3 components, sampling ≤ 2); None on
+    * arithmetic coding, 12-bit, or malformed streams. */
+  private[graft] def decodeJpegProgressive(b: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    try {
+      val quant = new Array[Array[Int]](4)
+      val huffDc = new Array[JpegHuff](4)
+      val huffAc = new Array[JpegHuff](4)
+      var w = 0; var h = 0; var ncomp = 0
+      var compId: Array[Int] = null
+      var compH: Array[Int] = null; var compV: Array[Int] = null
+      var compQ: Array[Int] = null
+      var restartInterval = 0
+      var maxH = 1; var maxV = 1; var mcusX = 0; var mcusY = 0
+      var lumaBw = 0; var lumaBh = 0 // luma block grid, padded to whole MCUs
+      var coefs: Array[Int] = null   // 64 per luma block, natural order
+
+      /** First true marker at/after `from` (skips stuffed FF00 and RSTn):
+        * how a scan's entropy segment is skipped without decoding it. */
+      def nextMarker(from: Int): Int = {
+        var p = from
+        while (p + 1 < b.length) {
+          if ((b(p) & 0xff) == 0xff) {
+            val m = b(p + 1) & 0xff
+            if (m != 0x00 && m != 0xff && !(m >= 0xd0 && m <= 0xd7)) return p
+          }
+          p += 1
+        }
+        b.length
+      }
+
+      var i = 2
+      var sawEoi = false
+      while (!sawEoi) {
+        if (i + 2 > b.length) return None
+        if ((b(i) & 0xff) != 0xff) return None
+        while (i + 2 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1 // FF fill
+        val marker = b(i + 1) & 0xff
+        if (marker == 0xd9) sawEoi = true // EOI carries no length field
+        else {
+          if (i + 4 > b.length) return None
+          val len = u16be(b, i + 2)
+          if (len < 2 || i.toLong + 2 + len > b.length) return None
+          val seg = i + 4
+          var nextAt = i + 2 + len
+          marker match {
+            case 0xc2 => // SOF2
+              if (coefs != null) return None // one frame only
+              if ((b(seg) & 0xff) != 8) return None
+              h = u16be(b, seg + 1); w = u16be(b, seg + 3)
+              ncomp = b(seg + 5) & 0xff
+              if (w <= 0 || h <= 0 || (ncomp != 1 && ncomp != 3)) return None
+              if (w.toLong * h * ncomp > 32L * 1024 * 1024) return None
+              compId = new Array[Int](ncomp)
+              compH = new Array[Int](ncomp); compV = new Array[Int](ncomp)
+              compQ = new Array[Int](ncomp)
+              var c = 0
+              while (c < ncomp) {
+                val o = seg + 6 + 3 * c
+                compId(c) = b(o) & 0xff
+                compH(c) = (b(o + 1) >> 4) & 0xf; compV(c) = b(o + 1) & 0xf
+                compQ(c) = b(o + 2) & 0xf
+                if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 ||
+                    compV(c) > 2 || compQ(c) > 3) return None
+                c += 1
+              }
+              maxH = compH.max; maxV = compV.max
+              mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+              mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+              lumaBw = mcusX * compH(0); lumaBh = mcusY * compV(0)
+              coefs = new Array[Int](lumaBw * lumaBh * 64)
+            case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+                 0xcb | 0xcd | 0xce | 0xcf =>
+              return None // a second/incompatible SOF
+            case 0xdb =>
+              var o = seg
+              while (o < i + 2 + len) {
+                val pq = (b(o) >> 4) & 0xf; val tq = b(o) & 0xf
+                if (pq != 0 || tq > 3) return None
+                quant(tq) = Array.tabulate(64)(k => b(o + 1 + k) & 0xff)
+                o += 65
+              }
+            case 0xc4 =>
+              var o = seg
+              while (o < i + 2 + len) {
+                val tc = (b(o) >> 4) & 0xf; val th = b(o) & 0xf
+                if (tc > 1 || th > 3) return None
+                val counts = Array.tabulate(16)(k => b(o + 1 + k) & 0xff)
+                val n = counts.sum
+                val syms = Array.tabulate(n)(k => b(o + 17 + k) & 0xff)
+                val t = new JpegHuff(counts, syms)
+                if (tc == 0) huffDc(th) = t else huffAc(th) = t
+                o += 17 + n
+              }
+            case 0xdd => restartInterval = u16be(b, seg)
+            case 0xda => // one scan of the progression
+              if (coefs == null) return None
+              val ns = b(seg) & 0xff
+              if (ns < 1 || ns > ncomp) return None
+              val scComp = new Array[Int](ns)
+              val scDc = new Array[Int](ns); val scAc = new Array[Int](ns)
+              var c = 0
+              while (c < ns) {
+                val cid = b(seg + 1 + 2 * c) & 0xff
+                val idx = compId.indexOf(cid)
+                scComp(c) = if (idx >= 0) idx else c // positional fallback
+                scDc(c) = (b(seg + 2 + 2 * c) >> 4) & 0xf
+                scAc(c) = b(seg + 2 + 2 * c) & 0xf
+                c += 1
+              }
+              val ss = b(seg + 1 + 2 * ns) & 0xff
+              val se = b(seg + 2 + 2 * ns) & 0xff
+              val ah = (b(seg + 3 + 2 * ns) >> 4) & 0xf
+              val al = b(seg + 3 + 2 * ns) & 0xf
+              // G.1.1.1: a DC scan is exactly the Ss=Se=0 band, AC scans
+              // are Ss>0 and never interleaved — a baseline-shaped
+              // (0,63) scan mislabeled SOF2 must be rejected, not decoded
+              if (se > 63 || se < ss || (ss == 0 && se != 0) ||
+                  (ns > 1 && ss != 0)) return None
+              val dataAt = i + 2 + len
+              if (!scComp.contains(0)) {
+                // chroma-only scan: its bits can't touch the luma plane —
+                // skip the self-delimited entropy segment wholesale
+                nextAt = nextMarker(dataAt)
+              } else {
+                val br = new JpegBits(b, dataAt)
+                val dcPred = new Array[Int](ncomp)
+                var eobrun = 0
+                val p1 = 1 << al
+
+                // ---- one luma block's AC band, first pass (Ah == 0) ----
+                def acFirst(off: Int, acTab: JpegHuff): Unit = {
+                  if (eobrun > 0) { eobrun -= 1; return }
+                  var k = ss
+                  while (k <= se) {
+                    val rs = acTab.decode(br)
+                    val r = rs >> 4; val s = rs & 0xf
+                    if (s == 0) {
+                      if (r == 15) k += 16 // ZRL
+                      else {               // EOBn: run of all-zero bands
+                        eobrun = (1 << r) - 1
+                        if (r > 0) eobrun += br.bits(r)
+                        return
+                      }
+                    } else {
+                      k += r
+                      if (k > se) throw new IllegalArgumentException("AC run past Se")
+                      coefs(off + jpegZigzag(k)) = jpegExtend(br.bits(s), s) << al
+                      k += 1
+                    }
+                  }
+                }
+
+                // ---- one luma block's AC band, refinement (T.81 G.1.2.3):
+                // correction bits for already-nonzero coefficients read in
+                // coefficient order as each symbol's span is walked ----
+                def acRefine(off: Int, acTab: JpegHuff): Unit = {
+                  var k = ss
+                  if (eobrun == 0) {
+                    var eob = false
+                    while (!eob && k <= se) {
+                      val rs = acTab.decode(br)
+                      var r = rs >> 4; val s = rs & 0xf
+                      var insert = 0
+                      if (s == 0) {
+                        if (r < 15) {
+                          eobrun = 1 << r
+                          if (r > 0) eobrun += br.bits(r)
+                          eob = true // tail handled below, then eobrun -= 1
+                        } // r == 15: ZRL — skip 16 zero-history coefficients
+                      } else {
+                        if (s != 1) throw new IllegalArgumentException("bad refine size")
+                        insert = if (br.bit() == 1) p1 else -p1
+                      }
+                      if (!eob) {
+                        var placed = false
+                        while (!placed && k <= se) {
+                          val z = off + jpegZigzag(k)
+                          if (coefs(z) != 0) {
+                            if (br.bit() == 1 && (coefs(z) & p1) == 0)
+                              coefs(z) += (if (coefs(z) >= 0) p1 else -p1)
+                          } else if (r == 0) {
+                            if (insert != 0) coefs(z) = insert
+                            placed = true
+                          } else r -= 1
+                          k += 1
+                        }
+                        if (!placed && insert != 0)
+                          throw new IllegalArgumentException("no slot in band")
+                      }
+                    }
+                  }
+                  if (eobrun > 0) {
+                    while (k <= se) { // corrections continue through the EOB tail
+                      val z = off + jpegZigzag(k)
+                      if (coefs(z) != 0) {
+                        if (br.bit() == 1 && (coefs(z) & p1) == 0)
+                          coefs(z) += (if (coefs(z) >= 0) p1 else -p1)
+                      }
+                      k += 1
+                    }
+                    eobrun -= 1
+                  }
+                }
+
+                def restartIfDue(sinceRestart: Int): Boolean =
+                  if (restartInterval > 0 && sinceRestart == restartInterval) {
+                    br.restart()
+                    java.util.Arrays.fill(dcPred, 0)
+                    eobrun = 0
+                    true
+                  } else false
+
+                if (ns > 1) {
+                  // interleaved scan: DC only (Ss == 0 enforced above).
+                  // Chroma blocks decode (or read their 1 bit) to stay in
+                  // step but never store.
+                  var mcu = 0; var sinceRestart = 0
+                  val nMcus = mcusX * mcusY
+                  while (mcu < nMcus) {
+                    if (restartIfDue(sinceRestart)) sinceRestart = 0
+                    val mx = mcu % mcusX; val my = mcu / mcusX
+                    var c = 0
+                    while (c < ns) {
+                      val comp = scComp(c)
+                      var by = 0
+                      while (by < compV(comp)) {
+                        var bx = 0
+                        while (bx < compH(comp)) {
+                          if (ah == 0) {
+                            val t = huffDc(scDc(c)).decode(br)
+                            dcPred(comp) += jpegExtend(br.bits(t), t)
+                            if (comp == 0) {
+                              val blk = (my * compV(0) + by) * lumaBw + (mx * compH(0) + bx)
+                              coefs(blk * 64) = dcPred(comp) << al
+                            }
+                          } else {
+                            val bit = br.bit()
+                            if (comp == 0 && bit == 1) {
+                              val blk = (my * compV(0) + by) * lumaBw + (mx * compH(0) + bx)
+                              coefs(blk * 64) |= p1
+                            }
+                          }
+                          bx += 1
+                        }
+                        by += 1
+                      }
+                      c += 1
+                    }
+                    sinceRestart += 1; mcu += 1
+                  }
+                } else {
+                  // non-interleaved LUMA scan (chroma was skipped above):
+                  // raster over the component's ceil-block grid, which can
+                  // be narrower than the padded MCU grid
+                  val cw = (w * compH(0) + 8 * maxH - 1) / (8 * maxH)
+                  val ch = (h * compV(0) + 8 * maxV - 1) / (8 * maxV)
+                  if (ss == 0 && huffDc(scDc(0)) == null) return None
+                  if (ss > 0 && huffAc(scAc(0)) == null) return None
+                  var blk = 0; var sinceRestart = 0
+                  val nBlks = cw * ch
+                  while (blk < nBlks) {
+                    if (restartIfDue(sinceRestart)) sinceRestart = 0
+                    val off = ((blk / cw) * lumaBw + blk % cw) * 64
+                    if (ss == 0) {
+                      if (ah == 0) {
+                        val t = huffDc(scDc(0)).decode(br)
+                        dcPred(0) += jpegExtend(br.bits(t), t)
+                        coefs(off) = dcPred(0) << al
+                      } else if (br.bit() == 1) coefs(off) |= p1
+                    } else if (ah == 0) acFirst(off, huffAc(scAc(0)))
+                    else acRefine(off, huffAc(scAc(0)))
+                    sinceRestart += 1; blk += 1
+                  }
+                }
+                nextAt = nextMarker(br.pos)
+              }
+            case _ => () // APPn/COM/...
+          }
+          i = nextAt
+        }
+      }
+      if (coefs == null) return None
+      val qt = quant(compQ(0))
+      if (qt == null) return None
+      // dequantize + IDCT every luma block into the padded plane, then crop
+      val lumaW = mcusX * 8 * maxH; val lumaH = mcusY * 8 * maxV
+      val luma = new Array[Float](lumaW * lumaH)
+      val sx = maxH / compH(0); val sy = maxV / compV(0)
+      val dq = new Array[Double](64)
+      val tmp = Array.ofDim[Double](8, 8)
+      var by = 0
+      while (by < lumaBh) {
+        var bx = 0
+        while (bx < lumaBw) {
+          val off = (by * lumaBw + bx) * 64
+          var k = 0
+          while (k < 64) { // qt is zigzag-ordered, coefs natural-ordered
+            val z = jpegZigzag(k)
+            dq(z) = coefs(off + z).toDouble * qt(k)
+            k += 1
+          }
+          var y0 = 0
+          while (y0 < 8) { // separable IDCT: rows into tmp, then columns
+            var x0 = 0
+            while (x0 < 8) {
+              var s = 0.0; var u = 0
+              while (u < 8) { s += idctCos(x0)(u) * dq(y0 * 8 + u); u += 1 }
+              tmp(y0)(x0) = s
+              x0 += 1
+            }
+            y0 += 1
+          }
+          var x0 = 0
+          while (x0 < 8) {
+            var y1 = 0
+            while (y1 < 8) {
+              var s = 0.0; var v = 0
+              while (v < 8) { s += idctCos(y1)(v) * tmp(v)(x0); v += 1 }
+              val px = math.max(0, math.min(255, math.round(s + 128.0).toInt))
+              var ry = 0
+              while (ry < sy) {
+                var rx = 0
+                while (rx < sx) {
+                  val px0 = (bx * 8 + x0) * sx + rx
+                  val py0 = (by * 8 + y1) * sy + ry
+                  if (px0 < lumaW && py0 < lumaH)
+                    luma(py0 * lumaW + px0) = px.toFloat
+                  rx += 1
+                }
+                ry += 1
+              }
+              y1 += 1
+            }
+            x0 += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      val out = new Array[Float](w * h)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(luma, y * lumaW, out, y * w, w)
+        y += 1
+      }
+      Some((w, h, ncomp, out))
+    } catch { case _: Exception => None }
+  }
+
   /** 4x4 grid mean-pool of a luminance image → the 16-dim feature,
     * normalized to [-0.5, 0.5] (0 = black, 1 = white before the shift).
     * Cell boundaries partition rows/cols evenly (ceil-split), so every
@@ -991,26 +1349,28 @@ object MediaJob {
   /** Decode dispatch, best-real-first:
     *  1. PNG → REAL pixel decode ([[decodePngLuma]]: inflate + unfilter)
     *     with a 4x4 mean-pool luminance grid as the 16-dim feature;
-    *  2. baseline JPEG → REAL pixel decode ([[decodeJpegLuma]]: Huffman +
-    *     dequant + IDCT), same grid feature;
+    *  2. baseline or progressive JPEG → REAL pixel decode
+    *     ([[decodeJpegLuma]] / [[decodeJpegProgressive]]: Huffman +
+    *     dequant + IDCT, multi-scan accumulation), same grid feature;
     *  3. MJPEG-in-AVI video → REAL frame decode ([[decodeAviMjpeg]]):
     *     per-frame JPEG pixels, feature = mean of per-frame grids;
     *  4. WAV PCM → REAL sample decode ([[decodeWavRms]]: 16 window RMS
     *     energies);
-    *  5. recognized container but unsupported encoding (progressive JPEG,
-    *     compressed WAV, non-MJPEG AVI, MP4/
-    *     Matroska with a compressed codec payload) → REAL header dims
-    *     ([[probeHeader]], incl. the [[probeMp4]] moov walk and the
-    *     [[probeMkv]] EBML walk) + the deterministic fold feature;
+    *  5. recognized container but unsupported encoding (compressed WAV,
+    *     non-MJPEG AVI, MP4/Matroska with a compressed codec payload) →
+    *     REAL header dims ([[probeHeader]], incl. the [[probeMp4]] moov
+    *     walk and the [[probeMkv]] EBML walk) + the deterministic fold
+    *     feature;
     *  6. unrecognized bytes → fully faked dims + fold feature.
     *
     * ============================ STUB ================================
     * Only tier 5-6's FEATURE VECTOR is faked (a stable byte fold):
     * compressed video PIXEL codecs (H.264/VP9 etc.) are out of scope to
-    * write from scratch in this container. PNG pixels, baseline-JPEG
-    * pixels, MJPEG-AVI frames and WAV PCM samples are all decoded for
-    * real above, and MP4/Matroska geometry/frame counts parse for real;
-    * swapping in further codecs extends the dispatch.
+    * write from scratch in this container. PNG pixels (every depth and
+    * interlace mode), baseline AND progressive JPEG pixels, MJPEG-AVI
+    * frames and WAV PCM samples are all decoded for real above, and
+    * MP4/Matroska geometry/frame counts parse for real; swapping in
+    * further codecs extends the dispatch.
     * ================================================================== */
   def decodeStub(mediaType: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val b = if (bytes == null) Array.empty[Byte] else bytes

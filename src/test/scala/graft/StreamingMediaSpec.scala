@@ -396,6 +396,255 @@ class StreamingMediaSpec extends AnyFunSuite {
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
 
+  // ------------------------------------------- independent PROGRESSIVE JPEG
+  // Forward progressive encoder written HERE from T.81 Annex G directly
+  // (spectral selection, successive approximation, EOB runs, refinement
+  // correction-bit buffering) — shares no code with MediaJob's decoder.
+
+  private def jpegMag(v: Int): (Int, Int) = { // (size, value bits)
+    val a = math.abs(v)
+    var s = 0
+    while ((a >> s) != 0) s += 1
+    (s, if (v >= 0) v else v + (1 << s) - 1)
+  }
+
+  /** Grayscale progressive JPEG over the scan script `scans` of
+    * (Ss, Se, Ah, Al). With `chroma = true`, a 3-component frame whose
+    * Cb/Cr planes are constant 128 (all-zero coefficients): the DC scan
+    * becomes interleaved (ns=3) and all-zero chroma AC scans are
+    * appended — luma pixels are unchanged either way. */
+  private def encodeGrayProgressiveJpeg(w: Int, h: Int, px: Array[Int], q: Array[Int],
+                                        scans: Seq[(Int, Int, Int, Int)],
+                                        chroma: Boolean = false): Array[Byte] = {
+    val dcT = new TestHuff((0 to 11).toArray)
+    val acT = new TestHuff(((0 to 14).map(r => r << 4) ++ Seq(0xf0) ++
+      (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)).toArray)
+    val mcusX = (w + 7) / 8; val mcusY = (h + 7) / 8
+    val blocks = Array.tabulate(mcusX * mcusY) { mcu =>
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      fdctQuant(Array.tabulate(64) { i =>
+        val x = math.min(w - 1, mx * 8 + i % 8)
+        val y = math.min(h - 1, my * 8 + i / 8)
+        px(y * w + x)
+      }, q)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, body: Array[Byte]): Unit = {
+      out.write(0xff); out.write(marker)
+      out.write(be16(body.length + 2)); out.write(body)
+    }
+    out.write(0xff); out.write(0xd8)
+    seg(0xdb, Array[Byte](0x00) ++ q.map(_.toByte))
+    val ncomp = if (chroma) 3 else 1
+    seg(0xc2, Array[Byte](8) ++ be16(h) ++ be16(w) ++
+      Array[Byte](ncomp.toByte) ++
+      Array.tabulate(ncomp * 3)(i => i % 3 match {
+        case 0 => (i / 3 + 1).toByte // component id 1..n
+        case 1 => 0x11.toByte        // sampling 1x1
+        case 2 => 0.toByte           // quant table 0
+      }))
+    seg(0xc4, dcT.dht(0, 0)); seg(0xc4, acT.dht(1, 0))
+    for ((ss, se, ah, al) <- scans) {
+      val bw = new TestBitWriter
+      if (ss == 0 && chroma) {
+        // interleaved DC scan over all three components (sampling 1x1:
+        // one block per component per MCU; chroma DC is always 0)
+        seg(0xda, Array[Byte](3, 1, 0, 2, 0, 3, 0,
+          ss.toByte, se.toByte, ((ah << 4) | al).toByte))
+        val pred = new Array[Int](3)
+        for (blk <- blocks; c <- 0 until 3) {
+          val dc = if (c == 0) blk(0) else 0
+          if (ah == 0) {
+            val v = dc >> al
+            val (s, bits) = jpegMag(v - pred(c)); pred(c) = v
+            val (code, len) = dcT.codeOf(s)
+            bw.put(code, len); bw.put(bits, s)
+          } else bw.put((dc >> al) & 1, 1)
+        }
+      } else {
+        seg(0xda, Array[Byte](1, 1, 0,
+          ss.toByte, se.toByte, ((ah << 4) | al).toByte))
+        if (ss == 0) {
+          var pred = 0
+          for (blk <- blocks) {
+            if (ah == 0) {
+              val v = blk(0) >> al // arithmetic shift: two's-complement plane
+              val (s, bits) = jpegMag(v - pred); pred = v
+              val (code, len) = dcT.codeOf(s)
+              bw.put(code, len); bw.put(bits, s)
+            } else bw.put((blk(0) >> al) & 1, 1)
+          }
+        } else if (ah == 0) {
+          // AC first pass at bit plane Al, with cross-block EOB runs
+          var eobRun = 0
+          def flushEob(): Unit = if (eobRun > 0) {
+            var n = 0
+            while ((1 << (n + 1)) <= eobRun) n += 1
+            val (code, len) = acT.codeOf(n << 4)
+            bw.put(code, len)
+            if (n > 0) bw.put(eobRun - (1 << n), n)
+            eobRun = 0
+          }
+          for (blk <- blocks) {
+            // point transform is magnitude shift (toward zero), NOT >>
+            val vals = (ss to se).map { k =>
+              val c = blk(k); val m = math.abs(c) >> al
+              if (c < 0) -m else m
+            }
+            if (vals.forall(_ == 0)) {
+              eobRun += 1
+              if (eobRun == 32767) flushEob()
+            } else {
+              flushEob()
+              var run = 0
+              var last = -1
+              for ((v, idx) <- vals.zipWithIndex; if v != 0) {
+                run = idx - last - 1; last = idx
+                while (run > 15) {
+                  val (c0, l0) = acT.codeOf(0xf0); bw.put(c0, l0); run -= 16
+                }
+                val (s, bits) = jpegMag(v)
+                val (code, len) = acT.codeOf((run << 4) | s)
+                bw.put(code, len); bw.put(bits, s)
+              }
+              if (last < vals.length - 1) eobRun += 1 // trailing zeros
+            }
+          }
+          flushEob()
+        } else {
+          // AC refinement (G.1.2.3): correction bits for history-nonzero
+          // coefficients ride each symbol's span in coefficient order;
+          // EOB-run tails buffer their corrections until the run flushes
+          var eobRun = 0
+          val eobBits = scala.collection.mutable.ArrayBuffer[Int]()
+          def flushEob(): Unit = if (eobRun > 0) {
+            var n = 0
+            while ((1 << (n + 1)) <= eobRun) n += 1
+            val (code, len) = acT.codeOf(n << 4)
+            bw.put(code, len)
+            if (n > 0) bw.put(eobRun - (1 << n), n)
+            eobBits.foreach(bit => bw.put(bit, 1))
+            eobBits.clear(); eobRun = 0
+          }
+          for (blk <- blocks) {
+            // tokens since the last emitted symbol: -1 = zero-history zero,
+            // 0/1 = correction bit of a history-nonzero coefficient
+            val toks = scala.collection.mutable.ArrayBuffer[Int]()
+            for (k <- ss to se) {
+              val c = blk(k); val ab = math.abs(c) >> al
+              if (ab == 0) toks += -1
+              else if (ab > 1) toks += (ab & 1)
+              else { // newly significant at this bit plane
+                flushEob()
+                var zeros = toks.count(_ == -1)
+                while (zeros > 15) { // ZRL spans exactly 16 zero-history slots
+                  val (c0, l0) = acT.codeOf(0xf0); bw.put(c0, l0)
+                  var z = 0
+                  while (z < 16) {
+                    val t = toks.remove(0)
+                    if (t == -1) z += 1 else bw.put(t, 1)
+                  }
+                  zeros -= 16
+                }
+                val (code, len) = acT.codeOf((zeros << 4) | 1)
+                bw.put(code, len)
+                bw.put(if (c >= 0) 1 else 0, 1) // sign
+                toks.foreach(t => if (t != -1) bw.put(t, 1))
+                toks.clear()
+              }
+            }
+            if (toks.nonEmpty) { // trailing zeros/corrections → EOB run
+              eobRun += 1
+              toks.foreach(t => if (t != -1) eobBits += t)
+              if (eobRun == 32767) flushEob()
+            }
+          }
+          flushEob()
+        }
+      }
+      bw.flush(); out.write(bw.bytes)
+    }
+    if (chroma) {
+      // all-zero chroma AC scans (one EOB run each) — the decoder must
+      // SKIP these byte-wise without touching the luma plane
+      for (cid <- 2 to 3) {
+        seg(0xda, Array[Byte](1, cid.toByte, 0, 1, 63, 0))
+        val bw = new TestBitWriter
+        var run = blocks.length
+        while (run > 0) { // EOBn covers ≤ 32767 blocks
+          val chunk = math.min(run, 32767)
+          var n = 0
+          while ((1 << (n + 1)) <= chunk) n += 1
+          val (code, len) = acT.codeOf(n << 4)
+          bw.put(code, len)
+          if (n > 0) bw.put(chunk - (1 << n), n)
+          run -= chunk
+        }
+        bw.flush(); out.write(bw.bytes)
+      }
+    }
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
+  test("JPEG progressive decode: spectral-selection scans reproduce the baseline pixels") {
+    // smooth gradient → high-frequency bands all-zero for many blocks,
+    // exercising cross-block EOB runs in the AC-first path
+    val w = 32; val h = 24
+    val px = Array.tabulate(w * h)(i => ((i % w) * 3 + (i / w) * 2) % 256)
+    val q = Array.tabulate(64)(k => 1 + k / 4)
+    val (baseBytes, _) = encodeGrayJpeg(w, h, px, q)
+    val base = MediaJob.decodeJpegLuma(baseBytes).get
+    val prog = encodeGrayProgressiveJpeg(w, h, px, q,
+      Seq((0, 0, 0, 0), (1, 5, 0, 0), (6, 63, 0, 0)))
+    val got = MediaJob.decodeJpegLuma(prog)
+    assert(got.isDefined, "decoder rejected a valid spectral-selection progressive JPEG")
+    val (dw, dh, dch, luma) = got.get
+    assert((dw, dh, dch) == (w, h, 1))
+    // identical coefficients on both paths → identical pixels, exactly
+    assert(luma.sameElements(base._4), "progressive != baseline reconstruction")
+    // dispatch lands on tier 1: pooled REAL pixels
+    val (_, _, _, feat) = MediaJob.decodeStub("image", prog)
+    assert(feat.sameElements(MediaJob.gridPool16(w, h, luma)))
+  }
+
+  test("JPEG progressive decode: successive approximation refines DC and AC to exact bits") {
+    // busier texture: refinement scans carry real correction bits, and
+    // negative coefficients exercise the sign-magnitude AC plane logic
+    val w = 24; val h = 24
+    val px = Array.tabulate(w * h)(i => ((i % w) * 11 + (i / w) * 17 + (i % 7) * 29) % 256)
+    val q = Array.tabulate(64)(k => 1 + k / 8)
+    val (baseBytes, _) = encodeGrayJpeg(w, h, px, q)
+    val base = MediaJob.decodeJpegLuma(baseBytes).get
+    val prog = encodeGrayProgressiveJpeg(w, h, px, q, Seq(
+      (0, 0, 0, 1),   // DC, high bits
+      (1, 63, 0, 2),  // AC first at plane 2
+      (0, 0, 1, 0),   // DC refinement: final bit
+      (1, 63, 2, 1),  // AC refinement 2 → 1
+      (1, 63, 1, 0))) // AC refinement 1 → 0: all bits restored
+    val got = MediaJob.decodeJpegLuma(prog)
+    assert(got.isDefined, "decoder rejected a valid successive-approximation JPEG")
+    assert(got.get._4.sameElements(base._4),
+      "successive approximation must restore the exact baseline coefficients")
+  }
+
+  test("JPEG progressive decode: interleaved DC scan and byte-skipped chroma scans") {
+    val w = 16; val h = 16
+    val px = Array.tabulate(w * h)(i => (i * 5) % 256)
+    val q = Array.tabulate(64)(k => 1 + k / 8)
+    val (baseBytes, _) = encodeGrayJpeg(w, h, px, q)
+    val base = MediaJob.decodeJpegLuma(baseBytes).get
+    // 3-component frame, constant-128 chroma: interleaved ns=3 DC scan,
+    // then a luma AC scan, then all-zero chroma AC scans the decoder skips
+    val prog = encodeGrayProgressiveJpeg(w, h, px, q,
+      Seq((0, 0, 0, 0), (1, 63, 0, 0)), chroma = true)
+    val got = MediaJob.decodeJpegLuma(prog)
+    assert(got.isDefined, "decoder rejected a valid interleaved-DC progressive JPEG")
+    val (dw, dh, dch, luma) = got.get
+    assert((dw, dh, dch) == (w, h, 3))
+    assert(luma.sameElements(base._4), "luma must be unaffected by chroma scans")
+  }
+
   test("JPEG baseline decode: Huffman+IDCT pixels match an independent encoder's replay") {
     // textured 24x16 gradient — exercises DC diffs and a spread of AC runs
     val w = 24; val h = 16
@@ -429,11 +678,12 @@ class StreamingMediaSpec extends AnyFunSuite {
         s"pixel $i: decoded ${luma(i)} vs expected ${expect(i)}")
   }
 
-  test("JPEG decode rejects progressive and truncated streams (falls back, never throws)") {
+  test("JPEG decode rejects ill-formed scan scripts and truncated streams (falls back, never throws)") {
     val w = 8; val h = 8
     val px = Array.tabulate(w * h)(i => i * 3 % 256)
     val (bytes, _) = encodeGrayJpeg(w, h, px, Array.fill(64)(4))
-    // flip SOF0 -> SOF2 (progressive): decoder must return None...
+    // flip SOF0 -> SOF2: the baseline (Ss=0,Se=63) scan header is illegal
+    // for progressive (G.1.1.1) — decoder must return None, not garbage...
     val prog = bytes.clone()
     val sofAt = prog.indices.find(i => (prog(i) & 0xff) == 0xff &&
       (prog(i + 1) & 0xff) == 0xc0).get
@@ -940,8 +1190,13 @@ class StreamingMediaSpec extends AnyFunSuite {
       }
     }
     val pngI16 = encodePng(8, 8, 0, rawI16.toArray, bitDepth = 16, interlace = 1)
+    // a successive-approximation progressive JPEG reaches the multi-scan
+    // accumulation and refinement branches
+    val jpegProg = encodeGrayProgressiveJpeg(24, 16, jpx, jq,
+      Seq((0, 0, 0, 1), (1, 63, 0, 1), (0, 0, 1, 0), (1, 63, 1, 0)))
     val seeds = Seq("image" -> png, "image" -> pngI16, "image" -> jpeg,
-      "video" -> avi, "video" -> mp4, "video" -> mkv, "audio" -> wav)
+      "image" -> jpegProg, "video" -> avi, "video" -> mp4, "video" -> mkv,
+      "audio" -> wav)
     def mutate(b: Array[Byte]): Array[Byte] = rng.nextInt(4) match {
       case 0 if b.nonEmpty => // flip 1-8 random bytes
         val m = b.clone()
