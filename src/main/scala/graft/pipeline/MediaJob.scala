@@ -1230,12 +1230,43 @@ object MediaJob {
       else (sums(k) / counts(k) / 255.0).toFloat - 0.5f)
   }
 
-  /** REAL WAV PCM sample decode → 16 per-window RMS energies. Supports
-    * PCM (format 1) at 8-bit unsigned / 16-bit signed LE, any channel
-    * count (channels are energy-averaged together). The window RMS is
-    * normalized to full scale and shifted to [-0.5, 0.5] (silence →
-    * -0.5). Returns (sampleRate, nFrames, feature) or None for
-    * non-PCM / other bit widths. */
+  /** G.711 µ-law byte → linear sample on the 16-bit scale (public CCITT
+    * segmented-companding formula). */
+  private def ulaw2linear(code: Int): Int = {
+    val u = ~code & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law byte → linear sample on the 16-bit scale. */
+  private def alaw2linear(code: Int): Int = {
+    val a = code ^ 0x55
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0f) << 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** IMA ADPCM step-size table and index adjustments (public IMA spec). */
+  private val imaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 600, 660,
+    726, 794, 873, 961, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val imaIndexAdj: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** REAL WAV sample decode → 16 per-window RMS energies. Supports PCM
+    * (format 1) at 8-bit unsigned / 16/24/32-bit signed LE, IEEE float32
+    * (format 3), G.711 A-law/µ-law (formats 6/7), IMA ADPCM (format
+    * 0x11, block-structured 4-bit), and WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+    * wrapping any of these; any channel count ≤ 16 (channels are
+    * energy-averaged together). The window RMS is normalized to full
+    * scale and shifted to [-0.5, 0.5] (silence → -0.5). Returns
+    * (sampleRate, nFrames, feature) or None for other codecs. */
   private[graft] def decodeWavRms(b: Array[Byte]): Option[(Int, Int, Array[Float])] = {
     if (b == null || b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
         b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
@@ -1243,6 +1274,7 @@ object MediaJob {
     try {
     var i = 12
     var rate = 0; var bits = 0; var chans = 0; var fmt = 0
+    var blockAlign = 0; var fmtBody = -1; var fmtLen = 0
     var dataOff = -1; var dataLen = 0
     while (i + 8 <= b.length) {
       val id = new String(b, i, 4, "US-ASCII")
@@ -1252,39 +1284,126 @@ object MediaJob {
       if (len < 0 || i.toLong + 8 + len > b.length) return None
       if (id == "fmt " && len >= 16) {
         fmt = u16le(b, i + 8); chans = u16le(b, i + 10)
-        rate = u32le(b, i + 12); bits = u16le(b, i + 22)
+        rate = u32le(b, i + 12); blockAlign = u16le(b, i + 20)
+        bits = u16le(b, i + 22)
+        fmtBody = i + 8; fmtLen = len
       }
       if (id == "data") { dataOff = i + 8; dataLen = len }
       i += 8 + len + (len & 1)
     }
-    if (fmt != 1 || rate <= 0 || chans <= 0 || dataOff < 0) return None
-    if (bits != 8 && bits != 16) return None
-    val bytesPerFrame = bits / 8 * chans
-    val nFrames = dataLen / bytesPerFrame
-    if (nFrames == 0) return Some((rate, 0, Array.fill(16)(-0.5f)))
-    val feat = new Array[Float](16)
-    var win = 0
-    while (win < 16) {
-      val f0 = (win.toLong * nFrames / 16).toInt
-      val f1 = ((win + 1).toLong * nFrames / 16).toInt
-      var sum = 0.0
-      var n = 0L
-      var f = f0
-      while (f < f1) {
-        var c = 0
-        while (c < chans) {
-          val o = dataOff + f * bytesPerFrame + c * (bits / 8)
-          val v = if (bits == 16) u16le(b, o).toShort.toDouble / 32768.0
-                  else ((b(o) & 0xff) - 128).toDouble / 128.0
-          sum += v * v; n += 1
-          c += 1
+    if (rate <= 0 || chans <= 0 || chans > 16 || dataOff < 0) return None
+    // WAVE_FORMAT_EXTENSIBLE: the real code is the SubFormat GUID's
+    // leading 16 bits (the rest of the GUID is the fixed media namespace)
+    val code = if (fmt == 0xfffe && fmtLen >= 40) u16le(b, fmtBody + 24) else fmt
+
+    def rmsWindows(nFrames: Int, sampleAt: (Int, Int) => Double): Array[Float] = {
+      val feat = new Array[Float](16)
+      var win = 0
+      while (win < 16) {
+        val f0 = (win.toLong * nFrames / 16).toInt
+        val f1 = ((win + 1).toLong * nFrames / 16).toInt
+        var sum = 0.0
+        var n = 0L
+        var f = f0
+        while (f < f1) {
+          var c = 0
+          while (c < chans) {
+            val v = sampleAt(f, c)
+            sum += v * v; n += 1
+            c += 1
+          }
+          f += 1
         }
-        f += 1
+        feat(win) = if (n == 0) -0.5f else (math.sqrt(sum / n) - 0.5).toFloat
+        win += 1
       }
-      feat(win) = if (n == 0) -0.5f else (math.sqrt(sum / n) - 0.5).toFloat
-      win += 1
+      feat
     }
-    Some((rate, nFrames, feat))
+
+    code match {
+      case 1 | 3 | 6 | 7 => // frame-addressable: fixed bytes per sample
+        val bytesPer = code match {
+          case 6 | 7 => if (bits != 8) return None else 1
+          case 3     => if (bits != 32) return None else 4
+          case _     =>
+            if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return None
+            bits / 8
+        }
+        val bytesPerFrame = bytesPer * chans
+        val nFrames = dataLen / bytesPerFrame
+        if (nFrames == 0) return Some((rate, 0, Array.fill(16)(-0.5f)))
+        def sampleAt(f: Int, c: Int): Double = {
+          val o = dataOff + f * bytesPerFrame + c * bytesPer
+          code match {
+            case 6 => alaw2linear(b(o) & 0xff) / 32768.0
+            case 7 => ulaw2linear(b(o) & 0xff) / 32768.0
+            case 3 =>
+              val v = java.lang.Float.intBitsToFloat(u32le(b, o)).toDouble
+              math.max(-1.0, math.min(1.0, if (v.isNaN) 0.0 else v))
+            case _ => bytesPer match {
+              case 1 => ((b(o) & 0xff) - 128).toDouble / 128.0
+              case 2 => u16le(b, o).toShort.toDouble / 32768.0
+              case 3 => ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+                         (b(o + 2).toInt << 16)).toDouble / 8388608.0
+              case _ => u32le(b, o).toDouble / 2147483648.0
+            }
+          }
+        }
+        Some((rate, nFrames, rmsWindows(nFrames, sampleAt)))
+
+      case 0x11 => // IMA ADPCM: per-block channel headers + nibble groups
+        if (bits != 4 || blockAlign < 4 * chans + 4 || blockAlign > dataLen)
+          return None
+        val spb = (blockAlign - 4 * chans) * 2 / chans + 1 // samples/blk/chan
+        val nBlocks = dataLen / blockAlign
+        val nFrames = nBlocks * spb
+        if (nFrames == 0) return Some((rate, 0, Array.fill(16)(-0.5f)))
+        if (nFrames.toLong * chans > 16L * 1024 * 1024) return None
+        val dec = new Array[Float](nFrames * chans)
+        var blk = 0
+        while (blk < nBlocks) {
+          val base = dataOff + blk * blockAlign
+          val pred = new Array[Int](chans); val idx = new Array[Int](chans)
+          var c = 0
+          while (c < chans) { // 4-byte header: predictor s16, step index u8
+            pred(c) = u16le(b, base + 4 * c).toShort.toInt
+            idx(c) = math.min(88, b(base + 4 * c + 2) & 0xff)
+            dec(blk * spb * chans + c) = pred(c) / 32768.0f
+            c += 1
+          }
+          // nibble data in 4-byte-per-channel groups (8 samples each)
+          var s = 1
+          var p = base + 4 * chans
+          while (s < spb) {
+            var c2 = 0
+            while (c2 < chans) {
+              var g = 0
+              while (g < 8 && s + g < spb) {
+                val byte0 = b(p + c2 * 4 + g / 2) & 0xff
+                val n = if ((g & 1) == 0) byte0 & 0xf else (byte0 >> 4) & 0xf
+                val step = imaStep(idx(c2))
+                var diff = step >> 3
+                if ((n & 1) != 0) diff += step >> 2
+                if ((n & 2) != 0) diff += step >> 1
+                if ((n & 4) != 0) diff += step
+                if ((n & 8) != 0) pred(c2) -= diff else pred(c2) += diff
+                if (pred(c2) > 32767) pred(c2) = 32767
+                if (pred(c2) < -32768) pred(c2) = -32768
+                idx(c2) = math.min(88, math.max(0, idx(c2) + imaIndexAdj(n & 7)))
+                dec((blk * spb + s + g) * chans + c2) = pred(c2) / 32768.0f
+                g += 1
+              }
+              c2 += 1
+            }
+            s += 8
+            p += 4 * chans
+          }
+          blk += 1
+        }
+        Some((rate, nFrames, rmsWindows(nFrames, (f, c) => dec(f * chans + c))))
+
+      case _ => None // unsupported codec → header/fold tier
+    }
     } catch { case _: Exception => None } // corrupt input → header/fold tier
   }
 
@@ -1354,13 +1473,14 @@ object MediaJob {
     *     dequant + IDCT, multi-scan accumulation), same grid feature;
     *  3. MJPEG-in-AVI video → REAL frame decode ([[decodeAviMjpeg]]):
     *     per-frame JPEG pixels, feature = mean of per-frame grids;
-    *  4. WAV PCM → REAL sample decode ([[decodeWavRms]]: 16 window RMS
-    *     energies);
-    *  5. recognized container but unsupported encoding (compressed WAV,
-    *     non-MJPEG AVI, MP4/Matroska with a compressed codec payload) →
-    *     REAL header dims ([[probeHeader]], incl. the [[probeMp4]] moov
-    *     walk and the [[probeMkv]] EBML walk) + the deterministic fold
-    *     feature;
+    *  4. WAV (PCM 8/16/24/32, float32, G.711 A-law/µ-law, IMA ADPCM,
+    *     extensible) → REAL sample decode ([[decodeWavRms]]: 16 window
+    *     RMS energies);
+    *  5. recognized container but unsupported encoding (non-MJPEG AVI,
+    *     MP4/Matroska with a compressed codec payload, exotic WAV
+    *     codecs) → REAL header dims ([[probeHeader]], incl. the
+    *     [[probeMp4]] moov walk and the [[probeMkv]] EBML walk) + the
+    *     deterministic fold feature;
     *  6. unrecognized bytes → fully faked dims + fold feature.
     *
     * ============================ STUB ================================

@@ -725,6 +725,170 @@ class StreamingMediaSpec extends AnyFunSuite {
     assert(feat8.forall(v => math.abs(v - (-0.5f)) < 1e-4))
   }
 
+  // ------------------------------------------ independent WAV codec side
+  private def wavLe32(v: Int) =
+    Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def wavLe16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+
+  /** WAV container with an arbitrary format code; `extensible` wraps the
+    * code in WAVE_FORMAT_EXTENSIBLE (0xFFFE + SubFormat GUID). */
+  private def wavFile(fmtCode: Int, chans: Int, rate: Int, bits: Int,
+                      blockAlign: Int, data: Array[Byte],
+                      extensible: Boolean = false): Array[Byte] = {
+    val fmtBody =
+      if (!extensible)
+        wavLe16(fmtCode) ++ wavLe16(chans) ++ wavLe32(rate) ++
+          wavLe32(rate * blockAlign) ++ wavLe16(blockAlign) ++ wavLe16(bits)
+      else // 16 base + cbSize 22: validBits, channelMask, SubFormat GUID
+        wavLe16(0xfffe) ++ wavLe16(chans) ++ wavLe32(rate) ++
+          wavLe32(rate * blockAlign) ++ wavLe16(blockAlign) ++ wavLe16(bits) ++
+          wavLe16(22) ++ wavLe16(bits) ++ wavLe32(0) ++
+          wavLe16(fmtCode) ++ wavLe16(0) ++ Array.fill[Byte](12)(0)
+    "RIFF".getBytes ++ wavLe32(4 + 8 + fmtBody.length + 8 + data.length) ++
+      "WAVE".getBytes ++ "fmt ".getBytes ++ wavLe32(fmtBody.length) ++ fmtBody ++
+      "data".getBytes ++ wavLe32(data.length) ++ data
+  }
+
+  /** Independent G.711 COMPRESSORS (linear → code), from the segmented
+    * companding definition — the kernel holds only the decode side, so a
+    * round-trip within quantization tolerance pins both. */
+  private def linear2ulaw(s0: Int): Int = {
+    var s = s0
+    val sign = if (s < 0) { s = -s; 0x80 } else 0
+    if (s > 32635) s = 32635
+    s += 0x84
+    var exp = 7; var mask = 0x4000
+    while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+    ~(sign | (exp << 4) | ((s >> (exp + 3)) & 0x0f)) & 0xff
+  }
+  private def linear2alaw(s0: Int): Int = {
+    var s = s0
+    val sign = if (s >= 0) 0x80 else { s = -s; 0 }
+    if (s > 32635) s = 32635
+    var exp = 7; var mask = 0x4000
+    while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = if (exp == 0) (s >> 4) & 0x0f else (s >> (exp + 3)) & 0x0f
+    ((sign | (exp << 4) | mant) ^ 0x55) & 0xff
+  }
+
+  test("WAV wide PCM and float: 24/32-bit and IEEE float32 window RMS are exact") {
+    // half-scale square at each width → RMS 0.5 exactly → feature 0.0
+    val n = 160
+    def sq(i: Int): Int = if (i % 2 == 0) 1 else -1
+    val d24 = (0 until n).flatMap { i =>
+      val v = sq(i) * 4194304 // 2^22 = half of 2^23 full scale
+      Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte)
+    }.toArray
+    val (r24, f24, feat24) = MediaJob.decodeWavRms(wavFile(1, 1, 8000, 24, 3, d24)).get
+    assert(r24 == 8000 && f24 == n)
+    assert(feat24.forall(v => math.abs(v) < 1e-6), s"24-bit RMS: ${feat24.toSeq}")
+    val d32 = (0 until n).flatMap(i => wavLe32(sq(i) * 1073741824)).toArray // 2^30
+    val (_, _, feat32) = MediaJob.decodeWavRms(wavFile(1, 1, 8000, 32, 4, d32)).get
+    assert(feat32.forall(v => math.abs(v) < 1e-6), s"32-bit RMS: ${feat32.toSeq}")
+    val dF = (0 until n).flatMap(i =>
+      wavLe32(java.lang.Float.floatToIntBits(sq(i) * 0.5f))).toArray
+    val (_, _, featF) = MediaJob.decodeWavRms(wavFile(3, 1, 8000, 32, 4, dF)).get
+    assert(featF.forall(v => math.abs(v) < 1e-6), s"float RMS: ${featF.toSeq}")
+    // extensible wrapper around 16-bit PCM decodes identically to plain
+    val d16 = (0 until n).flatMap(i => wavLe16((sq(i) * 16384) & 0xffff)).toArray
+    val plain = MediaJob.decodeWavRms(wavFile(1, 1, 8000, 16, 2, d16)).get
+    val ext = MediaJob.decodeWavRms(wavFile(1, 1, 8000, 16, 2, d16, extensible = true)).get
+    assert(ext._1 == plain._1 && ext._2 == plain._2 &&
+      ext._3.sameElements(plain._3),
+      "WAVE_FORMAT_EXTENSIBLE must decode as the wrapped code")
+  }
+
+  test("WAV G.711 µ-law and A-law: companded round-trip holds window RMS within tolerance") {
+    // a half-scale square: companding error at 16384 is < 3 %
+    val n = 160
+    val lin = Array.tabulate(n)(i => if (i % 2 == 0) 16384 else -16384)
+    for ((code, enc) <- Seq(7 -> linear2ulaw _, 6 -> linear2alaw _)) {
+      val data = lin.map(v => enc(v).toByte)
+      val got = MediaJob.decodeWavRms(wavFile(code, 1, 8000, 8, 1, data))
+      assert(got.isDefined, s"fmt $code rejected")
+      val (rate, frames, feat) = got.get
+      assert(rate == 8000 && frames == n)
+      // true RMS 0.5 → feature 0.0; allow the companding quantization
+      assert(feat.forall(v => math.abs(v) < 0.03),
+        s"fmt $code windows: ${feat.toSeq}")
+      // silence stays exactly representable in both laws
+      val silent = Array.fill(n)(enc(0).toByte)
+      val (_, _, fs) = MediaJob.decodeWavRms(wavFile(code, 1, 8000, 8, 1, silent)).get
+      assert(fs.forall(v => math.abs(v - (-0.5f)) < 2e-3), s"fmt $code silence: ${fs.toSeq}")
+    }
+  }
+
+  test("WAV IMA ADPCM: block decode matches the independent encoder's own reconstruction") {
+    // independent IMA COMPRESSOR (public spec): picks each nibble by
+    // successive step subtraction and tracks its own reconstruction —
+    // the kernel must land on exactly the same predictor trajectory
+    val stepT = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+      41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+      190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 600, 660,
+      726, 794, 873, 961, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+      2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+      6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+      16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    val idxAdj = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+    val spb = 33 // 4-byte header + 16 data bytes per mono block
+    val blockAlign = 4 + (spb - 1) / 2
+    val nBlocks = 4
+    val src = Array.tabulate(nBlocks * spb)(i =>
+      (math.sin(i * 0.12) * 12000).toInt) // smooth: ADPCM tracks closely
+    val data = new scala.collection.mutable.ArrayBuffer[Byte]()
+    val recon = new scala.collection.mutable.ArrayBuffer[Int]()
+    // start near the signal's slope (standard encoder practice — avoids a
+    // slow step-ramp in block 1 that is codec physics, not decode error)
+    val maxDiff = (1 until src.length).map(k => math.abs(src(k) - src(k - 1))).max
+    var idx = math.max(0, stepT.indexWhere(_ >= maxDiff / 2))
+    for (blk <- 0 until nBlocks) {
+      var pred = src(blk * spb)
+      data ++= wavLe16(pred & 0xffff); data += idx.toByte; data += 0
+      recon += pred
+      val nibs = new scala.collection.mutable.ArrayBuffer[Int]()
+      for (k <- 1 until spb) {
+        val step = stepT(idx)
+        var diff = src(blk * spb + k) - pred
+        var nib = 0
+        if (diff < 0) { nib = 8; diff = -diff }
+        if (diff >= step) { nib |= 4; diff -= step }
+        if (diff >= (step >> 1)) { nib |= 2; diff -= step >> 1 }
+        if (diff >= (step >> 2)) nib |= 1
+        var d = step >> 3
+        if ((nib & 1) != 0) d += step >> 2
+        if ((nib & 2) != 0) d += step >> 1
+        if ((nib & 4) != 0) d += step
+        pred = if ((nib & 8) != 0) pred - d else pred + d
+        pred = math.max(-32768, math.min(32767, pred))
+        idx = math.max(0, math.min(88, idx + idxAdj(nib & 7)))
+        nibs += nib; recon += pred
+      }
+      nibs.grouped(2).foreach(p =>
+        data += ((p(0) | (p.lift(1).getOrElse(0) << 4)) & 0xff).toByte)
+    }
+    val bytes = wavFile(0x11, 1, 8000, 4, blockAlign, data.toArray)
+    val got = MediaJob.decodeWavRms(bytes)
+    assert(got.isDefined, "IMA ADPCM rejected")
+    val (rate, frames, feat) = got.get
+    assert(rate == 8000 && frames == nBlocks * spb)
+    // expected RMS windows from the ENCODER's reconstruction, same math
+    val expect = Array.tabulate(16) { win =>
+      val f0 = win * frames / 16; val f1 = (win + 1) * frames / 16
+      val vs = (f0 until f1).map(f => (recon(f) / 32768.0f).toDouble)
+      if (vs.isEmpty) -0.5f
+      else (math.sqrt(vs.map(v => v * v).sum / vs.length) - 0.5).toFloat
+    }
+    for (k <- 0 until 16)
+      assert(math.abs(feat(k) - expect(k)) < 1e-6, s"window $k: ${feat(k)} vs ${expect(k)}")
+    // the reconstruction itself must track the source (sanity on the codec)
+    val err = recon.zip(src).map { case (a, b0) => math.abs(a - b0) }.max
+    assert(err < 2500, s"ADPCM tracking error $err")
+    // unsupported codec (MS-ADPCM, fmt 2) → None, stub never throws
+    assert(MediaJob.decodeWavRms(wavFile(2, 1, 8000, 4, blockAlign, data.toArray)).isEmpty)
+    MediaJob.decodeStub("audio", wavFile(2, 1, 8000, 4, blockAlign, data.toArray))
+  }
+
   test("media feature extraction: schema, determinism, doc join") {
     import spark.implicits._
     val docs = CorpusGen.generate(spark, 300, 4).toDF()
@@ -1194,9 +1358,13 @@ class StreamingMediaSpec extends AnyFunSuite {
     // accumulation and refinement branches
     val jpegProg = encodeGrayProgressiveJpeg(24, 16, jpx, jq,
       Seq((0, 0, 0, 1), (1, 63, 0, 1), (0, 0, 1, 0), (1, 63, 1, 0)))
+    // an IMA-ADPCM WAV reaches the block-structured nibble decode
+    val adpcmData = wavLe16(0) ++ Array[Byte](0, 0) ++
+      Array.tabulate[Byte](16)(i => ((i * 0x93) & 0xff).toByte)
+    val adpcm = wavFile(0x11, 1, 8000, 4, 20, adpcmData)
     val seeds = Seq("image" -> png, "image" -> pngI16, "image" -> jpeg,
       "image" -> jpegProg, "video" -> avi, "video" -> mp4, "video" -> mkv,
-      "audio" -> wav)
+      "audio" -> wav, "audio" -> adpcm)
     def mutate(b: Array[Byte]): Array[Byte] = rng.nextInt(4) match {
       case 0 if b.nonEmpty => // flip 1-8 random bytes
         val m = b.clone()
