@@ -153,18 +153,53 @@ object Amounts {
     case _ => Seq.empty // no safe guard — always scan
   }
 
+  /** Start-of-match anchor per amount pattern (see [[Py.Anchor]]): every
+    * match of the pattern provably begins with one of the listed literals
+    * (under the regex engine's own case folding) or at a digit/comma —
+    * letting the scan skip between `indexOf` candidates instead of
+    * attempting the pattern at every position. Differentially pinned
+    * against the plain scan in AnchoredScanSpec. */
+  private[graft] def anchorFor(p: String): Option[Py.Anchor] = p match {
+    case s if s.startsWith("""HK\$""") => Some(Py.LitAnchor(Seq("hk$")))
+    case s if s.startsWith("""US\$""") => Some(Py.LitAnchor(Seq("us$")))
+    case s if s.startsWith("USD?") => Some(Py.LitAnchor(Seq("us")))
+    case s if s.startsWith("RMB") => Some(Py.LitAnchor(Seq("rmb")))
+    case s if s.startsWith("""(?:Hong Kong|US|United States)""") =>
+      Some(Py.LitAnchor(Seq("hong kong", "us", "united states")))
+    case s if s.startsWith("""(?:the\s+)?sum of""") => Some(Py.LitAnchor(Seq("the", "sum of")))
+    case s if s.startsWith("""(?:the\s+)?amount of""") => Some(Py.LitAnchor(Seq("the", "amount of")))
+    case s if s.startsWith("principal sum of") => Some(Py.LitAnchor(Seq("principal sum of")))
+    case s if s.startsWith("outstanding balance of") => Some(Py.LitAnchor(Seq("outstanding balance of")))
+    case s if s.startsWith("""\$""") => Some(Py.LitAnchor(Seq("$")))
+    case s if s.startsWith("""[\d]{1,3}""") => Some(Py.DigitStart)
+    case s if s.startsWith("""[\d,]+""") => Some(Py.DigitOrComma)
+    case s if s.startsWith("damages?") => Some(Py.LitAnchor(Seq("damage")))
+    case s if s.startsWith("compensation") => Some(Py.LitAnchor(Seq("compensation")))
+    case s if s.startsWith("costs?") => Some(Py.LitAnchor(Seq("cost")))
+    case s if s.startsWith("(?:港幣") || s.startsWith("(?:港币") =>
+      Some(Py.LitAnchor(Seq("港幣", "港币", "美金", "美元", "人民幣", "人民币")))
+    case _ => None
+  }
+
   /** `_find_potential_amounts` (`src/extractor.py:2382-2404`). */
   def findPotentialAmounts(text: String, patterns: Seq[String]): List[Candidate] = {
     val out = scala.collection.mutable.ListBuffer.empty[Candidate]
-    val lower = text.toLowerCase
+    // fold-exact lowercasing: sound for the guards (regex-consistent) and
+    // shared by every LitAnchor skip-scan below
+    val folded = Py.foldCase(text)
     for (p <- patterns) {
       val guards = patternGuards(p)
-      if (guards.isEmpty || guards.exists(lower.contains))
-      for ((m, ms, me) <- Py.findIter(p, text, I)) {
-        val start = math.max(0, ms - 150)
-        val end = math.min(text.length, me + 150)
-        val context = Py.sub("""\s+""", " ", Py.strip(Py.slice(text, start, end)))
-        out += Candidate(m, context, ms, text.length)
+      if (guards.isEmpty || guards.exists(folded.contains)) {
+        val matches = anchorFor(p) match {
+          case Some(a) => Py.findIterA(p, text, I, a, folded = folded)
+          case None    => Py.findIter(p, text, I)
+        }
+        for ((m, ms, me) <- matches) {
+          val start = math.max(0, ms - 150)
+          val end = math.min(text.length, me + 150)
+          val context = Py.wsCollapse(Py.strip(Py.slice(text, start, end)))
+          out += Candidate(m, context, ms, text.length)
+        }
       }
     }
     out.toList
@@ -216,7 +251,7 @@ object Amounts {
     if (analyzed.nonEmpty) analyzed else combined
   }
 
-  private val numberAnalysisPatterns = Seq(
+  private[graft] val numberAnalysisPatterns = Seq(
     """HK\$[\d,]+(?:\.\d{2})?(?:\s*(?:million|billion|thousand))?""",
     """USD?\s*[\d,]+(?:\.\d{2})?(?:\s*(?:million|billion|thousand))?""",
     """US\$[\d,]+(?:\.\d{2})?(?:\s*(?:million|billion|thousand))?""",
@@ -241,12 +276,15 @@ object Amounts {
     val foundAmounts = scala.collection.mutable.ListBuffer.empty[String]
     val amountValues = scala.collection.mutable.ListBuffer.empty[Double]
     val currencies = scala.collection.mutable.LinkedHashSet.empty[String]
-    val lower = text.toLowerCase
+    val folded = Py.foldCase(text)
 
     for (p <- numberAnalysisPatterns) {
       val guards = patternGuards(p)
-      if (guards.isEmpty || guards.exists(lower.contains))
-      for (m <- Py.findAll(p, text, I)) {
+      if (guards.isEmpty || guards.exists(folded.contains))
+      for (m <- anchorFor(p) match {
+        case Some(a) => Py.findAllA(p, text, I, a, folded = folded)
+        case None    => Py.findAll(p, text, I)
+      }) {
         parseAmountMatch(m) match {
           case Some((value, currency)) if value > 0 =>
             amountValues += value

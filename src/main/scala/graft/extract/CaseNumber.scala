@@ -30,7 +30,7 @@ object CaseNumber {
       val start = Py.sliceTo(text, math.min(text.length, 15000))
       for (p <- patterns) {
         Py.search1(p, start) match {
-          case Some(m) => return Py.sub("""\s+""", " ", Py.strip(m))
+          case Some(m) => return Py.wsCollapse(Py.strip(m))
           case None =>
         }
       }
@@ -56,22 +56,22 @@ object CaseNumber {
       val line = Py.strip(lines(i))
       if (line.toUpperCase.startsWith("ACTION")) {
         if (Py.matches("""ACTION\s+(?:N\s+)?O\s*\.?\s*\d+[A-Z]?\s+OF\s+\d{4}""", line, I)) {
-          return fixups(Py.sub("""\s+""", " ", Py.strip(line)))
+          return fixups(Py.wsCollapse(Py.strip(line)))
         } else if (Py.matches("""ACTION\s+(?:N\s+)?O\s*\.?\s*\d+[A-Z]?\s+OF\s+\d{2,3}\s+\d{1,2}""", line, I)) {
           var c = Py.subRef("""(\bOF\s+)(\d{2,3})\s+(\d{1,2})""", """\1\2\3""", Py.strip(line))
           c = fixups(c)
-          return Py.sub("""\s+""", " ", c)
+          return Py.wsCollapse(c)
         }
 
         // Try combining with the next line (src/extractor.py:517-537)
         if (i + 1 < lines.length) {
           val combined = s"$line ${Py.strip(lines(i + 1))}"
           if (Py.matches("""ACTION\s+(?:N\s+)?O\s*\.?\s*\d+[A-Z]?\s+OF\s+\d{4}""", combined, I)) {
-            return fixups(Py.sub("""\s+""", " ", Py.strip(combined)))
+            return fixups(Py.wsCollapse(Py.strip(combined)))
           } else if (Py.matches("""ACTION\s+(?:N\s+)?O\s*\.?\s*\d+[A-Z]?\s+OF\s+\d{2,3}\s+\d{1,2}""", combined, I)) {
             var c = Py.subRef("""(\bOF\s+)(\d{2,3})\s+(\d{1,2})""", """\1\2\3""", Py.strip(combined))
             c = fixups(c)
-            return Py.sub("""\s+""", " ", c)
+            return Py.wsCollapse(c)
           }
         }
 
@@ -93,7 +93,7 @@ object CaseNumber {
 
         // Partial line (src/extractor.py:557-565)
         if (Py.contains("""(?:N\s+)?O\s*\.?\s*\d+""", line, I)) {
-          return fixups(Py.sub("""\s+""", " ", Py.strip(line)))
+          return fixups(Py.wsCollapse(Py.strip(line)))
         }
       }
       i += 1
@@ -131,7 +131,7 @@ object CaseNumber {
       """案件編號[：:]\s*([^\n]+)""")
     for (p <- chinesePatterns) {
       Py.searchGroups(p, middle) match {
-        case Some(g) => return Py.sub("""\s+""", " ", Py.strip(g(0)))
+        case Some(g) => return Py.wsCollapse(Py.strip(g(0)))
         case None =>
       }
     }

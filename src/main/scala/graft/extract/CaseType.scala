@@ -21,25 +21,44 @@ object CaseType {
     * Each pattern carries a required-literal guard over the lowercased text:
     * guard false ⟹ the (case-insensitive) regex cannot match, so skipping the
     * scan is a pure speedup (validated by the golden suite). */
+  // Layer 1: key sections, weights 10..6, ≤2 matches each. Each row:
+  // (pattern, weight, contains-guard, start-of-match anchor) — the anchor
+  // lists every literal a match can begin with (AnchoredScanSpec pins the
+  // skip-scan == plain-scan equivalence).
+  private val keySectionPatterns = Seq(
+    ("""Introduction\s*[:\.]?\s*\n((?:[^\n]+\n){3,20})""", 10,
+      Seq("introduction"), Py.LitAnchor(Seq("introduction"))),
+    ("""(?:BACKGROUND|Background)\s*[:\.]?\s*\n((?:[^\n]+\n){5,25})""", 9,
+      Seq("background"), Py.LitAnchor(Seq("background"))),
+    ("""(?:FACTS?|Facts?)\s*[:\.]?\s*\n((?:[^\n]+\n){3,20})""", 8,
+      Seq("fact"), Py.LitAnchor(Seq("fact"))),
+    ("""(?:This is|These are)\s+(?:an?\s+)?(action|application|proceeding|matter|case|appeal|motion|summons)([^\n.]{20,300})""", 7,
+      Seq("this is", "these are"), Py.LitAnchor(Seq("this is", "these are"))),
+    ("""(?:The|This)\s+(?:plaintiff|applicant|defendant|appellant)\s+(?:seeks?|applies?|brings?|claims?)\s+([^\n.]{30,400})""", 6,
+      Seq("plaintiff", "applicant", "defendant", "appellant"),
+      Py.LitAnchor(Seq("the", "this"))))
+
+  // Layer 2: judgment-context patterns, weights 5,4
+  private val judgmentContextPatterns = Seq(
+    ("""(?:ORDER|ORDERS|JUDGMENT|HELD|DISPOSITION)\s*[:\.]?\s*\n((?:[^\n]+\n){2,15})""", 5,
+      Seq("order", "judgment", "held", "disposition"),
+      Py.LitAnchor(Seq("order", "judgment", "held", "disposition"))),
+    ("""(?:For (?:these reasons|the foregoing reasons)|Accordingly|In (?:conclusion|the result))\s*[,.]?\s*([^\n.]{50,500})""", 4,
+      Seq("for these reasons", "for the foregoing reasons", "accordingly",
+        "in conclusion", "in the result"),
+      Py.LitAnchor(Seq("for these reasons", "for the foregoing reasons",
+        "accordingly", "in conclusion", "in the result"))))
+
+  private[graft] def englishPatternRows
+      : Seq[(String, Int, Seq[String], Py.LitAnchor)] =
+    keySectionPatterns ++ judgmentContextPatterns
+
   def extractEnglishComprehensive(text: String): String = {
     val segments = scala.collection.mutable.ListBuffer.empty[Segment]
-    val lower = text.toLowerCase
+    val folded = Py.foldCase(text)
 
-    // Layer 1: key sections, weights 10..6, ≤2 matches each
-    val keySectionPatterns = Seq(
-      ("""Introduction\s*[:\.]?\s*\n((?:[^\n]+\n){3,20})""", 10,
-        Seq("introduction")),
-      ("""(?:BACKGROUND|Background)\s*[:\.]?\s*\n((?:[^\n]+\n){5,25})""", 9,
-        Seq("background")),
-      ("""(?:FACTS?|Facts?)\s*[:\.]?\s*\n((?:[^\n]+\n){3,20})""", 8,
-        Seq("fact")),
-      ("""(?:This is|These are)\s+(?:an?\s+)?(action|application|proceeding|matter|case|appeal|motion|summons)([^\n.]{20,300})""", 7,
-        Seq("this is", "these are")),
-      ("""(?:The|This)\s+(?:plaintiff|applicant|defendant|appellant)\s+(?:seeks?|applies?|brings?|claims?)\s+([^\n.]{30,400})""", 6,
-        Seq("plaintiff", "applicant", "defendant", "appellant")))
-
-    for ((p, weight, guards) <- keySectionPatterns if guards.exists(lower.contains)) {
-      val matches = Py.findIter(p, text, I | S).take(2)
+    for ((p, weight, guards, anchor) <- keySectionPatterns if guards.exists(folded.contains)) {
+      val matches = Py.findIterA(p, text, I | S, anchor, maxMatches = 2, folded = folded)
       for ((g1, _, _) <- matches) {
         val clean = cleanComprehensiveContent(g1)
         if (clean.length >= 50 && clean.length <= 2000)
@@ -47,16 +66,8 @@ object CaseType {
       }
     }
 
-    // Layer 2: judgment-context patterns, weights 5,4
-    val judgmentContextPatterns = Seq(
-      ("""(?:ORDER|ORDERS|JUDGMENT|HELD|DISPOSITION)\s*[:\.]?\s*\n((?:[^\n]+\n){2,15})""", 5,
-        Seq("order", "judgment", "held", "disposition")),
-      ("""(?:For (?:these reasons|the foregoing reasons)|Accordingly|In (?:conclusion|the result))\s*[,.]?\s*([^\n.]{50,500})""", 4,
-        Seq("for these reasons", "for the foregoing reasons", "accordingly",
-          "in conclusion", "in the result")))
-
-    for ((p, weight, guards) <- judgmentContextPatterns if guards.exists(lower.contains)) {
-      val matches = Py.findIter(p, text, I | S).take(2)
+    for ((p, weight, guards, anchor) <- judgmentContextPatterns if guards.exists(folded.contains)) {
+      val matches = Py.findIterA(p, text, I | S, anchor, maxMatches = 2, folded = folded)
       for ((g1, _, _) <- matches) {
         val clean = cleanComprehensiveContent(g1)
         if (clean.length >= 30 && clean.length <= 1500)
@@ -84,17 +95,31 @@ object CaseType {
   }
 
   /** `_extract_chinese_case_type_comprehensive` (`src/extractor.py:1846-1916`). */
+  private val zhKeySectionPatterns = Seq(
+    ("""(?:背景|事實|案情|簡介)\s*[：:.]?\s*\n((?:[^\n]+\n){3,20})""", 10,
+      Py.LitAnchor(Seq("背景", "事實", "案情", "簡介"))),
+    ("""(?:爭議|問題|焦點|糾紛)\s*[：:.]?\s*\n((?:[^\n]+\n){2,15})""", 9,
+      Py.LitAnchor(Seq("爭議", "問題", "焦點", "糾紛"))),
+    ("""(?:申請人|原告人?)\s*(?:申請|請求|要求|尋求|指稱)\s*([^\n。]{50,500})""", 8,
+      Py.LitAnchor(Seq("申請人", "原告"))),
+    ("""(?:本案|該案|此案)\s*(?:涉及|關於|係|為)\s*([^\n。]{30,400})""", 7,
+      Py.LitAnchor(Seq("本案", "該案", "此案"))))
+
+  private val zhJudgmentPatterns = Seq(
+    ("""(?:命令|判令|裁定|判決)\s*[：:.]?\s*\n((?:[^\n]+\n){2,15})""", 6,
+      Py.LitAnchor(Seq("命令", "判令", "裁定", "判決"))),
+    ("""(?:綜上所述|因此|故此|據此)\s*[，,]?\s*([^\n。]{30,400})""", 5,
+      Py.LitAnchor(Seq("綜上所述", "因此", "故此", "據此"))))
+
+  private[graft] def chinesePatternRows: Seq[(String, Int, Py.LitAnchor)] =
+    zhKeySectionPatterns ++ zhJudgmentPatterns
+
   def extractChineseComprehensive(text: String): String = {
     val segments = scala.collection.mutable.ListBuffer.empty[Segment]
+    val folded = Py.foldCase(text)
 
-    val keySectionPatterns = Seq(
-      ("""(?:背景|事實|案情|簡介)\s*[：:.]?\s*\n((?:[^\n]+\n){3,20})""", 10),
-      ("""(?:爭議|問題|焦點|糾紛)\s*[：:.]?\s*\n((?:[^\n]+\n){2,15})""", 9),
-      ("""(?:申請人|原告人?)\s*(?:申請|請求|要求|尋求|指稱)\s*([^\n。]{50,500})""", 8),
-      ("""(?:本案|該案|此案)\s*(?:涉及|關於|係|為)\s*([^\n。]{30,400})""", 7))
-
-    for ((p, weight) <- keySectionPatterns) {
-      val matches = Py.findIter(p, text).take(2)
+    for ((p, weight, anchor) <- zhKeySectionPatterns) {
+      val matches = Py.findIterA(p, text, 0, anchor, maxMatches = 2, folded = folded)
       for ((g1, _, _) <- matches) {
         val clean = cleanComprehensiveContent(g1)
         if (clean.length >= 30 && clean.length <= 1500)
@@ -102,12 +127,8 @@ object CaseType {
       }
     }
 
-    val judgmentPatterns = Seq(
-      ("""(?:命令|判令|裁定|判決)\s*[：:.]?\s*\n((?:[^\n]+\n){2,15})""", 6),
-      ("""(?:綜上所述|因此|故此|據此)\s*[，,]?\s*([^\n。]{30,400})""", 5))
-
-    for ((p, weight) <- judgmentPatterns) {
-      val matches = Py.findIter(p, text).take(2)
+    for ((p, weight, anchor) <- zhJudgmentPatterns) {
+      val matches = Py.findIterA(p, text, 0, anchor, maxMatches = 2, folded = folded)
       for ((g1, _, _) <- matches) {
         val clean = cleanComprehensiveContent(g1)
         if (clean.length >= 20 && clean.length <= 1000)
@@ -135,9 +156,10 @@ object CaseType {
   /** `_clean_comprehensive_content` (`src/extractor.py:1782-1802`). */
   def cleanComprehensiveContent(content: String): String = {
     if (content == null || content.isEmpty) return ""
-    var c = Py.sub("""\s+""", " ", Py.strip(content))
-    c = Py.sub("""\s*-\s*\d+\s*-\s*""", " ", c)
-    c = Py.sub("""\s*_{3,}\s*""", " ", c)
+    var c = Py.wsCollapse(Py.strip(content))
+    // literal guards: absent '-' / "___" the patterns cannot match
+    if (c.indexOf('-') >= 0) c = Py.sub("""\s*-\s*\d+\s*-\s*""", " ", c)
+    if (c.contains("___")) c = Py.sub("""\s*_{3,}\s*""", " ", c)
     c = Py.sub("""\s*(?:page|頁)\s*\d+.*$""", "", c, I)
     c = Py.sub("""^\s*(?:\d+\.\s*)?""", "", c)
     c = Py.sub("""^[,;.:\s]+""", "", c)

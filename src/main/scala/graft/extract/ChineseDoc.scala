@@ -31,7 +31,7 @@ object ChineseDoc {
 
   def standardizeCaseNumber(caseNumber: String): String = {
     if (caseNumber == null || caseNumber.isEmpty) return ""
-    var std = Py.sub("""\s+""", " ", Py.strip(caseNumber))
+    var std = Py.wsCollapse(Py.strip(caseNumber))
     Py.searchGroups("""(\d{4})\s*年\s*第\s*(\d+)\s*號""", std) match {
       case Some(g) =>
         val (year, number) = (g(1), g(2))
@@ -95,7 +95,7 @@ object ChineseDoc {
   def cleanJudgeName(judgeName: String): String = {
     if (judgeName == null || judgeName.isEmpty) return ""
     var c = Py.sub("""(高等法院.*?法官|法官|：)""", "", judgeName)
-    c = Py.strip(Py.sub("""\s+""", " ", c))
+    c = Py.strip(Py.wsCollapse(c))
     if (c.length >= 2 && c.length <= 10 && !Py.contains("""[a-zA-Z0-9]""", c)) c
     else ""
   }
@@ -110,7 +110,7 @@ object ChineseDoc {
     var c = Py.sub("""(無律師代表，親自行事|親自出庭應訊)""", "", name)
     c = Py.sub(""".*律師事務所.*代表""", "", c)
     c = Py.sub("""律師代表""", "", c)
-    Py.strip(Py.sub("""\s+""", " ", Py.strip(c)))
+    Py.strip(Py.wsCollapse(Py.strip(c)))
   }
 
   /** `extract_chinese_parties` → `_extract_parties_from_footer`
@@ -156,7 +156,7 @@ object ChineseDoc {
 
     var plaintiffLawyer = ""
     Py.search1("""原告人\s*[：:]\s*([^\n]*律師[^\n]*)""", footerText) match {
-      case Some(m) => plaintiffLawyer = Py.strip(Py.sub("""\s+""", " ", Py.strip(m)))
+      case Some(m) => plaintiffLawyer = Py.strip(Py.wsCollapse(Py.strip(m)))
       case None =>
         if (Py.contains("""原告人\s*[：:]\s*無律師代表，親自行事""", footerText))
           plaintiffLawyer = "無律師代表，親自行事"
@@ -170,7 +170,7 @@ object ChineseDoc {
     for (p <- patterns if !found) {
       Py.search1(p, footerText) match {
         case Some(m) =>
-          defendantLawyer = Py.strip(Py.sub("""\s+""", " ", Py.strip(m)))
+          defendantLawyer = Py.strip(Py.wsCollapse(Py.strip(m)))
           found = true
         case None =>
       }

@@ -8,7 +8,7 @@ import graft.text.Py.{I, S}
   * the cascade: an invalid match falls through to the next pattern. */
 object CourtName {
 
-  private val englishPatterns = Seq(
+  private[graft] val englishPatterns = Seq(
     """IN THE\s+(HIGH COURT OF THE\s+HONG KONG SPECIAL ADMINISTRATIVE REGION\s+COURT OF FIRST INSTANCE)""",
     """IN THE\s+(HIGH COURT OF THE\s+HONG KONG SPECIAL ADMINISTRATIVE REGION\s+COURT OF APPEAL)""",
     """IN THE\s+(COURT OF FIRST INSTANCE\s+OF THE HIGH COURT)""",
@@ -20,7 +20,7 @@ object CourtName {
     """IN THE\s+(.*?HIGH COURT.*?)(?=ACTION|PROCEEDING|BETWEEN)""",
     """IN THE\s+(.*?COURT.*?)(?=ACTION|PROCEEDING|BETWEEN)""")
 
-  private val chinesePatterns = Seq(
+  private[graft] val chinesePatterns = Seq(
     """(香港特別行政區高等法院原訟法庭)""",
     """(香港特別行政區高等法院)""",
     """(香\s*港\s*特\s*別\s*行\s*政\s*區\s*高等法院原訟法庭)""",
@@ -32,11 +32,13 @@ object CourtName {
   def extract(text: String, language: String): String = {
     if (language == "english") {
       // every English pattern starts with literal "IN THE" and captures a
-      // "...COURT..." — absent those, no pattern can match (pure speedup)
-      val lower = text.toLowerCase
-      if (!lower.contains("in the") || !lower.contains("court")) return ""
+      // "...COURT..." — absent those, no pattern can match (pure speedup);
+      // the same prefix anchors the skip-scan (AnchoredScanSpec pins it)
+      val folded = Py.foldCase(text)
+      if (!folded.contains("in the") || !folded.contains("court")) return ""
+      val anchor = Py.LitAnchor(Seq("in the"))
       for (p <- englishPatterns) {
-        Py.search1(p, text, I | S) match {
+        Py.search1A(p, text, I | S, anchor, folded) match {
           case Some(raw) =>
             val cleaned = cleanCourtName(Py.strip(raw))
             if (validateCourtName(cleaned, language)) return cleaned
@@ -60,7 +62,7 @@ object CourtName {
     * intra-CJK spacing (香 港 … → 香港…) then strips trailers. */
   def cleanCourtName(courtName: String): String = {
     if (courtName == null || courtName.isEmpty) return ""
-    var c = Py.sub("""\s+""", " ", Py.strip(courtName))
+    var c = Py.wsCollapse(Py.strip(courtName))
     c = Py.sub("""香\s*港\s*特\s*別\s*行\s*政\s*區""", "香港特別行政區", c)
     c = Py.sub("""香港特別行政區\s+高等法院""", "香港特別行政區高等法院", c)
     c = Py.sub("""\s*-\s*\d+\s*-.*$""", "", c)

@@ -108,7 +108,7 @@ object Judge {
     clean = Py.subN("""\s*j\.?\s*$""", "", clean, 2)               // :1462 count=2, case-sensitive
     clean = Py.subN("""\s*(?:sitting|in|chambers)\s*.*$""", "", clean, 2) // :1463
     clean = Py.subRef("""(?i)^(?:hon\.?\s+)?(.+?)\s*j\.?\s*$""", """\1""", clean)
-    clean = Py.strip(Py.sub("""\s+""", " ", clean))
+    clean = Py.strip(Py.wsCollapse(clean))
     if (clean.length >= 2 && clean.length <= 50 && !Py.matches("""^\d+$""", clean)) clean
     else ""
   }
@@ -170,7 +170,7 @@ object Judge {
     clean = Py.subN("""^(?:the\s+|hon\.?\s+|honourable\s+)""", "", clean, 2) // :1541
 
     // Step 5: whitespace and punctuation
-    clean = Py.strip(Py.sub("""\s+""", " ", clean))
+    clean = Py.strip(Py.wsCollapse(clean))
     clean = Py.sub("""^[,\s]+|[,\s]+$""", "", clean)
 
     // Step 6: validation

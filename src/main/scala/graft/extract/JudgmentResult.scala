@@ -62,20 +62,51 @@ object JudgmentResult {
     Seq("awarded", "granted", "payable"),
     Seq("granted", "dismissed", "refused", "allowed"))
 
+  // Start-of-match anchors (aligned 1:1 with the pattern lists): every
+  // match of the pattern begins with one of these literals, so the scan
+  // can skip between their occurrences (AnchoredScanSpec pins equivalence).
+  private val orderAnchors: Seq[Py.Anchor] = Seq(
+    Py.LitAnchor(Seq("order", "judgment", "conclusion", "disposition")),
+    Py.LitAnchor(Seq("it is ordered", "i order", "the court order")),
+    Py.LitAnchor(Seq("for these reasons", "for the foregoing reasons", "accordingly", "therefore")),
+    Py.LitAnchor(Seq("i ")),
+    Py.LitAnchor(Seq("i ")),
+    Py.LitAnchor(Seq("based on the above")),
+    Py.LitAnchor(Seq("in conclusion")),
+    Py.LitAnchor(Seq("for the ")))
+
+  private val decisionAnchors: Seq[Py.Anchor] = Seq(
+    Py.LitAnchor(Seq("dismiss", "grant", "refuse", "allow", "upheld", "affirmed")),
+    Py.LitAnchor(Seq("judgment")),
+    Py.LitAnchor(Seq("i")),
+    Py.LitAnchor(Seq("the", "application", "appeal", "claim")),
+    Py.LitAnchor(Seq("the", "defendant")),
+    Py.LitAnchor(Seq("the", "plaintiff")),
+    Py.LitAnchor(Seq("summary judgment")),
+    Py.LitAnchor(Seq("costs")),
+    Py.LitAnchor(Seq("interest")),
+    Py.LitAnchor(Seq("application")))
+
+  private[graft] def englishPatternRows: Seq[(String, Int, Seq[String], Py.Anchor)] =
+    orderPatterns.zip(orderGuards).zip(orderAnchors).map { case ((p, g), a) => (p, I | S, g, a) } ++
+      decisionPatterns.zip(decisionGuards).zip(decisionAnchors).map { case ((p, g), a) => (p, I, g, a) }
+
   /** `_extract_judgment_result_focused` (`src/extractor.py:1941-2022`). */
   def extractFocusedEnglish(section: String): String = {
     if (section == null || section.length < 100) return ""
     val segments = scala.collection.mutable.ListBuffer.empty[String]
-    val lower = section.toLowerCase
+    val folded = Py.foldCase(section)
 
-    for ((p, g) <- orderPatterns.zip(orderGuards) if g.exists(lower.contains)) {
-      for ((g1, _, _) <- Py.findIter(p, section, I | S).take(2)) {
+    for (((p, g), a) <- orderPatterns.zip(orderGuards).zip(orderAnchors)
+         if g.exists(folded.contains)) {
+      for ((g1, _, _) <- Py.findIterA(p, section, I | S, a, maxMatches = 2, folded = folded)) {
         val clean = cleanJudgmentContent(g1)
         if (clean.length >= 20 && clean.length <= 1000) segments += clean
       }
     }
-    for ((p, g) <- decisionPatterns.zip(decisionGuards) if g.exists(lower.contains)) {
-      for ((g1, _, _) <- Py.findIter(p, section, I).take(2)) {
+    for (((p, g), a) <- decisionPatterns.zip(decisionGuards).zip(decisionAnchors)
+         if g.exists(folded.contains)) {
+      for ((g1, _, _) <- Py.findIterA(p, section, I, a, maxMatches = 2, folded = folded)) {
         val clean = cleanJudgmentContent(g1)
         if (clean.length >= 15 && clean.length <= 800) segments += clean
       }
@@ -132,9 +163,9 @@ object JudgmentResult {
   /** `_clean_judgment_content` (`src/extractor.py:2087-2107`). */
   def cleanJudgmentContent(content: String): String = {
     if (content == null || content.isEmpty) return ""
-    var c = Py.sub("""\s+""", " ", Py.strip(content))
-    c = Py.sub("""\s*-\s*\d+\s*-\s*""", " ", c)
-    c = Py.sub("""\s*_{3,}\s*""", " ", c)
+    var c = Py.wsCollapse(Py.strip(content))
+    if (c.indexOf('-') >= 0) c = Py.sub("""\s*-\s*\d+\s*-\s*""", " ", c)
+    if (c.contains("___")) c = Py.sub("""\s*_{3,}\s*""", " ", c)
     c = Py.sub("""\s*(?:page|頁)\s*\d+.*$""", "", c, I)
     c = Py.sub("""^\s*(?:\d+\.\s*)?""", "", c)
     c = Py.sub("""^[,;.:\s]+""", "", c)

@@ -16,16 +16,39 @@ object Lawyers {
     else extractChineseLawyerSegment(lastSection, text)
   }
 
-  private val lawyerPatterns = Seq(
-    """(?i)(?:mr|ms|miss)\.?\s+[A-Z][a-z]+[^.]*?instructed\s+by[^.]*?for\s+(?:the\s+)?(?:plaintiff|defendant)""",
-    """(?i)instructed\s+by[^.]*?for\s+(?:the\s+)?(?:plaintiff|defendant)""",
-    """(?i)counsel\s+for\s+(?:the\s+)?(?:plaintiff|defendant)[:\s]+([^\n\.]+)""",
-    """(?i)(?:plaintiff|defendant).*?represented\s+by[^.]*?instructed\s+by""",
-    """(?i)for\s+(?:the\s+)?(?:plaintiff|defendant)[:\s]+(?:mr|ms|miss)\.?\s+[A-Z][a-z]+""",
-    """(?i)(?:mr|ms|miss)\.?\s+[A-Z][a-z]+.*?(?:instructed\s+by|of\s+[A-Z][a-z]+.*?(?:chambers|solicitors?))""",
-    """(?i)(?:mr|ms|miss)\.?\s+[A-Z][a-z]+.*?for\s+(?:the\s+)?(?:plaintiff|defendant|1st|2nd|3rd|4th)""",
-    """(?i)(?:leading\s+)?counsel.*?(?:instructed\s+by|for\s+(?:the\s+)?(?:plaintiff|defendant))""",
-    """(?i)(?:the\s+)?(?:plaintiff|defendant).*?(?:was\s+)?not\s+represented""")
+  // each pattern paired with its start-of-match anchor literals (what every
+  // match must begin with, case-insensitively) — AnchoredScanSpec pins the
+  // skip-scan == plain-scan equivalence
+  private[graft] val lawyerPatternRows = Seq(
+    ("""(?i)(?:mr|ms|miss)\.?\s+[A-Z][a-z]+[^.]*?instructed\s+by[^.]*?for\s+(?:the\s+)?(?:plaintiff|defendant)""",
+      Seq("mr", "ms", "miss")),
+    ("""(?i)instructed\s+by[^.]*?for\s+(?:the\s+)?(?:plaintiff|defendant)""",
+      Seq("instructed")),
+    ("""(?i)counsel\s+for\s+(?:the\s+)?(?:plaintiff|defendant)[:\s]+([^\n\.]+)""",
+      Seq("counsel")),
+    ("""(?i)(?:plaintiff|defendant).*?represented\s+by[^.]*?instructed\s+by""",
+      Seq("plaintiff", "defendant")),
+    ("""(?i)for\s+(?:the\s+)?(?:plaintiff|defendant)[:\s]+(?:mr|ms|miss)\.?\s+[A-Z][a-z]+""",
+      Seq("for")),
+    ("""(?i)(?:mr|ms|miss)\.?\s+[A-Z][a-z]+.*?(?:instructed\s+by|of\s+[A-Z][a-z]+.*?(?:chambers|solicitors?))""",
+      Seq("mr", "ms", "miss")),
+    ("""(?i)(?:mr|ms|miss)\.?\s+[A-Z][a-z]+.*?for\s+(?:the\s+)?(?:plaintiff|defendant|1st|2nd|3rd|4th)""",
+      Seq("mr", "ms", "miss")),
+    ("""(?i)(?:leading\s+)?counsel.*?(?:instructed\s+by|for\s+(?:the\s+)?(?:plaintiff|defendant))""",
+      Seq("leading", "counsel")),
+    ("""(?i)(?:the\s+)?(?:plaintiff|defendant).*?(?:was\s+)?not\s+represented""",
+      Seq("the", "plaintiff", "defendant")))
+
+  // Method-3 strict patterns (same anchor convention as lawyerPatternRows)
+  private[graft] val clearPatternRows = Seq(
+    ("""(?i)(?:mr|ms|miss)\.?\s+[A-Z][a-z]+.*?instructed\s+by.*?for\s+(?:the\s+)?(?:plaintiff|defendant)""",
+      Seq("mr", "ms", "miss")),
+    ("""(?i)for\s+(?:the\s+)?(?:plaintiff|defendant)[:\s]+(?:mr|ms|miss)\.?\s+[A-Z][a-z]+.*?(?:instructed|chambers)""",
+      Seq("for")),
+    ("""(?i)(?:the\s+)?(?:plaintiff|defendant).*?not\s+represented""",
+      Seq("the", "plaintiff", "defendant")),
+    ("""(?i)(?:the\s+)?(?:plaintiff|defendant).*?did\s+not\s+appear""",
+      Seq("the", "plaintiff", "defendant")))
 
   private val lawyerKeywords = Seq(
     "instructed by", "counsel for", "represented by", "chambers", "solicitor",
@@ -42,15 +65,18 @@ object Lawyers {
     for (p0 <- paragraphs) {
       val paragraph = Py.strip(p0)
       if (paragraph.length >= 30) {
-        val lower = paragraph.toLowerCase
+        val lower = paragraph.toLowerCase // semantic (reference .lower())
         // Every lawyerPattern requires one of these literals (case-insens);
         // guard false ⟹ none can match — pure speedup over the 9-regex scan.
         val patternGuard = Seq("instructed", "counsel", "represented",
           "mr", "ms", "miss").exists(lower.contains)
-        val hasLawyerInfo = patternGuard &&
-          lawyerPatterns.exists(p => Py.contains(p, paragraph))
+        lazy val folded = Py.foldCase(paragraph) // shared by the skip-scans
+        val hasLawyerInfo = patternGuard && lawyerPatternRows.exists {
+          case (p, needles) => Py.containsA(p, paragraph, 0, Py.LitAnchor(needles), folded)
+        }
         val hasKeywords = lawyerKeywords.exists(lower.contains)
-        val hasNamePattern = Py.contains("""(?i)(?:mr|ms|miss)\.?\s+[A-Z][a-z]+""", paragraph)
+        val hasNamePattern = Py.containsA("""(?i)(?:mr|ms|miss)\.?\s+[A-Z][a-z]+""",
+          paragraph, 0, Py.LitAnchor(Seq("mr", "ms", "miss")), folded)
         if (hasLawyerInfo || (hasKeywords && hasNamePattern)) {
           val cleaned = cleanLawyerSegment(paragraph)
           if (cleaned.length >= 15 && cleaned.length <= 1000) segments += cleaned
@@ -91,14 +117,10 @@ object Lawyers {
     if (found.isEmpty) {
       val extStart = math.max(0, fullText.length - fullText.length * 30 / 100)
       val ext = Py.sliceFrom(fullText, extStart)
-      val clearPatterns = Seq(
-        """(?i)(?:mr|ms|miss)\.?\s+[A-Z][a-z]+.*?instructed\s+by.*?for\s+(?:the\s+)?(?:plaintiff|defendant)""",
-        """(?i)for\s+(?:the\s+)?(?:plaintiff|defendant)[:\s]+(?:mr|ms|miss)\.?\s+[A-Z][a-z]+.*?(?:instructed|chambers)""",
-        """(?i)(?:the\s+)?(?:plaintiff|defendant).*?not\s+represented""",
-        """(?i)(?:the\s+)?(?:plaintiff|defendant).*?did\s+not\s+appear""")
       val buf = scala.collection.mutable.ListBuffer.empty[String]
-      for (p <- clearPatterns) {
-        val iter = Py.findIter(p, ext)
+      val extFolded = Py.foldCase(ext)
+      for ((p, needles) <- clearPatternRows) {
+        val iter = Py.findIterA(p, ext, 0, Py.LitAnchor(needles), folded = extFolded)
         var stop = false
         for ((_, ms, me) <- iter if !stop) {
           val s = math.max(0, ms - 100)
@@ -166,9 +188,9 @@ object Lawyers {
   /** `_clean_lawyer_segment` (`src/extractor.py:3264-3281`). */
   def cleanLawyerSegment(text: String): String = {
     if (text == null || text.isEmpty) return ""
-    var c = Py.sub("""\s+""", " ", Py.strip(text))
-    c = Py.sub("""\s*-\s*\d+\s*-\s*""", " ", c)
-    c = Py.sub("""\s*_{5,}\s*""", " ", c)
+    var c = Py.wsCollapse(Py.strip(text))
+    if (c.indexOf('-') >= 0) c = Py.sub("""\s*-\s*\d+\s*-\s*""", " ", c)
+    if (c.contains("_____")) c = Py.sub("""\s*_{5,}\s*""", " ", c)
     c = Py.sub("""(?i)\s*(?:page|頁|第.*頁).*$""", "", c)
     c = Py.sub("""^\s*[,;.:\s]+""", "", c)
     c = Py.sub("""[.\s]*$""", "", c)

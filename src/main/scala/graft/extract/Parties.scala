@@ -60,7 +60,7 @@ object Parties {
     for (p <- patterns) {
       Py.search1(p, text) match {
         case Some(raw) =>
-          var v = Py.sub("""\s+""", " ", Py.strip(raw))
+          var v = Py.wsCollapse(Py.strip(raw))
           v = Py.sub("""^\s*[：:]\s*""", "", v)
           if (v.length > 3 && v.length < maxLen && !Py.matches("""^\d+\s*$""", v))
             return v
@@ -81,7 +81,7 @@ object Parties {
     for (p <- patterns) {
       val matches = Py.findAll(p, text, M)
       for (m <- matches) {
-        var clean = Py.sub("""\s+""", " ", Py.strip(m))
+        var clean = Py.wsCollapse(Py.strip(m))
         clean = Py.sub("""^and\s+""", "", clean, I)
         if (clean.length > 3 && clean.length < 100) return clean
       }
@@ -175,7 +175,7 @@ object Parties {
 
   /** `_extract_simple_party` (`src/extractor.py:941-960`). */
   def extractSimpleParty(section: String, partyType: String): Option[Party] = {
-    var clean = Py.sub("""\s+""", " ", Py.strip(section))
+    var clean = Py.wsCollapse(Py.strip(section))
     clean = Py.sub(s"""\\s*$partyType\\s*$$""", "", clean, I)
     clean = Py.sub("""\s*(?:and|&)\s*$""", "", clean, I)
     if (isValidPartyName(clean)) Some(Party(clean, None)) else None
@@ -184,7 +184,7 @@ object Parties {
   /** `_clean_party_name` (`src/extractor.py:962-981`). */
   def cleanPartyName(name: String): String = {
     if (name == null || name.isEmpty) return ""
-    var clean = Py.sub("""\s+""", " ", Py.strip(name))
+    var clean = Py.wsCollapse(Py.strip(name))
     clean = Py.sub("""^(?:and\s+|&\s+)""", "", clean, I)
     clean = Py.sub("""\s*(?:and|&)\s*$""", "", clean, I)
     clean = Py.sub("""^[,\s]+|[,\s]+$""", "", clean)

@@ -7,28 +7,31 @@ import graft.text.Py.{I, S}
   * (`/root/reference/src/extractor.py:254-328`). */
 object TrialDate {
 
-  private val englishPatterns = Seq(
-    """Dates of Hearing\s*:?\s*([^\n]+)""",
-    """Date of Decision\s*:?\s*([^\n]+)""",
-    """Date of Judgment\s*:?\s*([^\n]+)""",
-    """Date of Trial\s*:?\s*([^\n]+)""",
-    """Date of Hearing\s*:?\s*([^\n]+)""",
-    """Hearing Date\s*:?\s*([^\n]+)""",
-    """Date of (?:Hearing|Decision|Judgment|Trial|Decision on Costs)\s*:?\s*([^\n]+)""")
+  // each pattern paired with its start-of-match literal (the pattern's own
+  // fixed prefix) for the skip-scan — AnchoredScanSpec pins equivalence
+  private[graft] val englishPatterns = Seq(
+    ("""Dates of Hearing\s*:?\s*([^\n]+)""", "dates of hearing"),
+    ("""Date of Decision\s*:?\s*([^\n]+)""", "date of decision"),
+    ("""Date of Judgment\s*:?\s*([^\n]+)""", "date of judgment"),
+    ("""Date of Trial\s*:?\s*([^\n]+)""", "date of trial"),
+    ("""Date of Hearing\s*:?\s*([^\n]+)""", "date of hearing"),
+    ("""Hearing Date\s*:?\s*([^\n]+)""", "hearing date"),
+    ("""Date of (?:Hearing|Decision|Judgment|Trial|Decision on Costs)\s*:?\s*([^\n]+)""", "date of "))
 
-  private val chinesePatterns = Seq(
-    """聆訊日期\s*[：:︰]\s*([^\n]+)""",
-    """判決日期\s*[：:︰]\s*([^\n]+)""",
-    """判案書日期\s*[：:︰]\s*([^\n]+)""",
-    """審訊日期\s*[：:︰]\s*([^\n]+)""",
-    """開庭日期\s*[：:︰]\s*([^\n]+)""")
+  private[graft] val chinesePatterns = Seq(
+    ("""聆訊日期\s*[：:︰]\s*([^\n]+)""", "聆訊日期"),
+    ("""判決日期\s*[：:︰]\s*([^\n]+)""", "判決日期"),
+    ("""判案書日期\s*[：:︰]\s*([^\n]+)""", "判案書日期"),
+    ("""審訊日期\s*[：:︰]\s*([^\n]+)""", "審訊日期"),
+    ("""開庭日期\s*[：:︰]\s*([^\n]+)""", "開庭日期"))
 
   def extract(text: String, language: String): String = {
     if (language == "english") {
       // every English pattern requires the literal "date" (case-insensitive)
-      if (!text.toLowerCase.contains("date")) return ""
-      for (p <- englishPatterns) {
-        Py.search1(p, text, I) match {
+      val folded = Py.foldCase(text)
+      if (!folded.contains("date")) return ""
+      for ((p, needle) <- englishPatterns) {
+        Py.search1A(p, text, I, Py.LitAnchor(Seq(needle)), folded) match {
           case Some(raw) =>
             val cleaned = cleanTrialDate(Py.strip(raw))
             if (cleaned.nonEmpty && cleaned.length > 5) return cleaned
@@ -37,8 +40,9 @@ object TrialDate {
       }
     } else {
       if (!text.contains("日期")) return ""
-      for (p <- chinesePatterns) {
-        Py.search1(p, text) match {
+      val folded = Py.foldCase(text)
+      for ((p, needle) <- chinesePatterns) {
+        Py.search1A(p, text, 0, Py.LitAnchor(Seq(needle)), folded) match {
           case Some(raw) =>
             val cleaned = cleanTrialDate(Py.strip(raw))
             if (cleaned.nonEmpty && cleaned.length > 3) return cleaned
@@ -52,7 +56,7 @@ object TrialDate {
   /** `_clean_trial_date` (`src/extractor.py:297-328`). */
   def cleanTrialDate(dateStr: String): String = {
     if (dateStr == null || dateStr.isEmpty) return ""
-    var c = Py.sub("""\s+""", " ", Py.strip(dateStr))
+    var c = Py.wsCollapse(Py.strip(dateStr))
     c = Py.sub("""\s*-\s*\d+\s*-\s*""", "", c)
     c = Py.sub("""\s*第\s*\d+\s*页.*$""", "", c)
     c = Py.sub("""\s+(?:and|&|及)\s*$""", "", c)

@@ -200,4 +200,198 @@ object Py {
 
   /** Python floor division for possibly-negative operands. */
   def floorDiv(a: Long, b: Long): Long = Math.floorDiv(a, b)
+
+  // ---------------------------------------------------------------------
+  // Fast exact scanning. The JDK regex engine finds unanchored matches by
+  // attempting the pattern at every position in turn; for the extraction
+  // kernel's keyword-prefixed patterns that per-position attempt (with
+  // case folding) dominates the whole pipeline's CPU. The helpers below
+  // keep the match semantics bit-exact while skipping between candidate
+  // start positions with `String.indexOf` (an intrinsic) instead:
+  // a pattern every match of which must BEGIN with one of a set of
+  // literals (case-insensitively) can only start where one of those
+  // literals occurs. Equivalence with the plain scanners is pinned by
+  // AnchoredScanSpec (differential over corpus + adversarial fuzz).
+  // ---------------------------------------------------------------------
+
+  /** Candidate-start description for [[findIterA]]/[[search1A]]/etc.
+    *
+    * The contract for `LitAnchor(needles)`: EVERY match of the pattern
+    * starts, at its first character, with one of `needles` compared under
+    * the regex engine's own case folding (`toLowerCase(toUpperCase(cp))`
+    * per code point — [[foldCase]]). For `PredAnchor(pred)`: every match
+    * starts at a code point satisfying `pred`. The pattern must not
+    * contain `^`, `\A`, `\G`, a leading `\b`, or lookbehind (the scan
+    * uses opaque match regions anchored at each candidate). */
+  sealed trait Anchor
+  final case class LitAnchor(needles: Seq[String]) extends Anchor
+  final case class PredAnchor(pred: Int => Boolean, desc: String) extends Anchor
+
+  /** Start-of-match predicate for `[\d,]`-headed amount patterns:
+    * regex `\d` under UNICODE_CHARACTER_CLASS is Unicode Nd. */
+  final val DigitOrComma: Anchor =
+    PredAnchor(cp => Character.isDigit(cp) || cp == ',', "digit-or-comma")
+  final val DigitStart: Anchor = PredAnchor(Character.isDigit _, "digit")
+
+  /** The JDK regex case-fold transform (what `Pattern$SliceU`/`CIBackRef`
+    * apply per code point): `toLowerCase(toUpperCase(cp))`. Unlike
+    * `String.toLowerCase` it is length-preserving, so folded indices map
+    * 1:1 onto the original string. */
+  def foldCase(s: String): String = {
+    val n = s.length
+    val a = new Array[Char](n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c) && i + 1 < n && Character.isLowSurrogate(s.charAt(i + 1))) {
+        val cp = Character.toCodePoint(c, s.charAt(i + 1))
+        val f = Character.toLowerCase(Character.toUpperCase(cp))
+        if (Character.charCount(f) == 2) {
+          a(i) = Character.highSurrogate(f); a(i + 1) = Character.lowSurrogate(f)
+        } else { // defensive: no simple mapping crosses planes in practice
+          a(i) = c; a(i + 1) = s.charAt(i + 1)
+        }
+        i += 2
+      } else {
+        // int-precision transform (the char overloads delegate to these)
+        val f = Character.toLowerCase(Character.toUpperCase(c.toInt))
+        a(i) = if (f >= 0 && f <= 0xFFFF) f.toChar else c
+        i += 1
+      }
+    }
+    new String(a)
+  }
+
+  /** Core anchored find loop: visits candidate starts in increasing order,
+    * attempts the pattern anchored at each, and reproduces the JDK
+    * `while (m.find())` iteration exactly (continue from match end;
+    * advance by one past empty matches). */
+  private def anchoredLoop(p: String, s: String, flags: Int, anchor: Anchor,
+                           folded0: String, maxMatches: Int)(emit: Matcher => Unit): Unit = {
+    val m = pattern(p, flags).matcher(s)
+    val n = s.length
+    var pos = 0
+    var found = 0
+    anchor match {
+      case LitAnchor(needles) =>
+        val folded = if (folded0 != null) folded0 else foldCase(s)
+        val nf = needles.iterator.map(foldCase).toArray
+        val nextOcc = nf.map(folded.indexOf(_))
+        while (found < maxMatches && pos <= n) {
+          var cand = Int.MaxValue
+          var i = 0
+          while (i < nf.length) {
+            var o = nextOcc(i)
+            if (o >= 0 && o < pos) { o = folded.indexOf(nf(i), pos); nextOcc(i) = o }
+            if (o >= 0 && o < cand) cand = o
+            i += 1
+          }
+          if (cand == Int.MaxValue) return
+          m.region(cand, n)
+          if (m.lookingAt()) {
+            emit(m); found += 1
+            pos = if (m.end > m.start) m.end else cand + 1
+          } else pos = cand + 1
+        }
+      case PredAnchor(pred, _) =>
+        while (found < maxMatches && pos < n) {
+          // next candidate code point
+          var cand = -1
+          var i = pos
+          while (cand < 0 && i < n) {
+            val cp = s.codePointAt(i)
+            if (pred(cp)) cand = i else i += Character.charCount(cp)
+          }
+          if (cand < 0) return
+          m.region(cand, n)
+          if (m.lookingAt()) {
+            emit(m); found += 1
+            pos = if (m.end > m.start) m.end else cand + 1
+          } else pos = cand + 1
+        }
+    }
+  }
+
+  /** [[findIter]] restricted to anchored patterns — identical output (up to
+    * `maxMatches`), candidate-skipping scan. `folded` may pass a
+    * precomputed [[foldCase]] of `s` shared across patterns. */
+  def findIterA(p: String, s: String, flags: Int, anchor: Anchor,
+                maxMatches: Int = Int.MaxValue, folded: String = null): List[(String, Int, Int)] = {
+    val out = List.newBuilder[(String, Int, Int)]
+    anchoredLoop(p, s, flags, anchor, folded, maxMatches) { m =>
+      val g = if (m.groupCount() >= 1) m.group(1) else m.group(0)
+      out += ((if (g == null) "" else g, m.start(), m.end()))
+    }
+    out.result()
+  }
+
+  /** [[findAll]] via anchored scan — identical output. */
+  def findAllA(p: String, s: String, flags: Int, anchor: Anchor,
+               folded: String = null): List[String] = {
+    val out = List.newBuilder[String]
+    anchoredLoop(p, s, flags, anchor, folded, Int.MaxValue) { m =>
+      val g = if (m.groupCount() >= 1) m.group(1) else m.group(0)
+      out += (if (g == null) "" else g)
+    }
+    out.result()
+  }
+
+  /** [[search1]] via anchored scan — identical output. */
+  def search1A(p: String, s: String, flags: Int, anchor: Anchor,
+               folded: String = null): Option[String] = {
+    var res: Option[String] = None
+    anchoredLoop(p, s, flags, anchor, folded, 1) { m =>
+      res = Option(if (m.groupCount() >= 1) m.group(1) else m.group(0))
+    }
+    res
+  }
+
+  /** [[contains]] via anchored scan — identical output. */
+  def containsA(p: String, s: String, flags: Int, anchor: Anchor,
+                folded: String = null): Boolean = {
+    var hit = false
+    anchoredLoop(p, s, flags, anchor, folded, 1) { _ => hit = true }
+    hit
+  }
+
+  /** Regex `\s` under UNICODE_CHARACTER_CLASS (the Unicode White_Space
+    * property as the JDK implements it) — all members are BMP chars.
+    * Exhaustively pinned against `Pattern.compile("\\s", UCC)` in
+    * AnchoredScanSpec. */
+  def isRegexWs(c: Char): Boolean =
+    (c >= 0x9 && c <= 0xD) || c == 0x85 || {
+      val t = Character.getType(c)
+      t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||
+        t == Character.PARAGRAPH_SEPARATOR
+    }
+
+  /** Exact single-pass equivalent of `sub("""\s+""", " ", s)` — each
+    * maximal whitespace run (leading/trailing included) becomes one
+    * space. */
+  def wsCollapse(s: String): String = {
+    val n = s.length
+    // fast path: already collapsed (every ws char is a lone ' ')
+    var i = 0
+    var prevWs = false
+    var needs = false
+    while (i < n && !needs) {
+      val c = s.charAt(i)
+      val ws = isRegexWs(c)
+      if (ws && (c != ' ' || prevWs)) needs = true
+      prevWs = ws
+      i += 1
+    }
+    if (!needs) return s
+    val sb = new java.lang.StringBuilder(n)
+    i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isRegexWs(c)) {
+        sb.append(' ')
+        i += 1
+        while (i < n && isRegexWs(s.charAt(i))) i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 }
