@@ -330,13 +330,36 @@ object Amounts {
   }
 
   /** Python `f"{value:,.0f}"` — round-half-even on the exact binary double,
-    * comma thousands grouping. */
+    * comma thousands grouping. `Math.rint` IS half-even rounding of the
+    * exact binary value, so the long fast path equals the BigDecimal path
+    * for every double it accepts (|v| < 2^53 keeps the long exact). */
   def formatThousands(value: Double): String = {
-    val rounded = new java.math.BigDecimal(value)
-      .setScale(0, java.math.RoundingMode.HALF_EVEN)
-    val digits = rounded.toBigInteger.abs.toString
-    val grouped = digits.reverse.grouped(3).mkString(",").reverse
-    (if (rounded.signum() < 0) "-" else "") + grouped
+    val r = Math.rint(value)
+    if (math.abs(r) < 9.007199254740992e15) groupThousands(r.toLong)
+    else {
+      val rounded = new java.math.BigDecimal(value)
+        .setScale(0, java.math.RoundingMode.HALF_EVEN)
+      val digits = rounded.toBigInteger.abs.toString
+      val grouped = digits.reverse.grouped(3).mkString(",").reverse
+      (if (rounded.signum() < 0) "-" else "") + grouped
+    }
+  }
+
+  private def groupThousands(v: Long): String = {
+    val digits = java.lang.Long.toString(math.abs(v))
+    val n = digits.length
+    if (n <= 3) return if (v < 0) "-" + digits else digits
+    val sb = new java.lang.StringBuilder(n + n / 3 + 1)
+    if (v < 0) sb.append('-')
+    val head = n % 3
+    if (head > 0) sb.append(digits, 0, head)
+    var i = head
+    while (i < n) {
+      if (sb.length > (if (v < 0) 1 else 0)) sb.append(',')
+      sb.append(digits, i, i + 3)
+      i += 3
+    }
+    sb.toString
   }
 
   /** `_combine_amount_results` (`src/extractor.py:2629-2653`) — 50-char

@@ -164,9 +164,13 @@ object JudgmentResult {
   def cleanJudgmentContent(content: String): String = {
     if (content == null || content.isEmpty) return ""
     var c = Py.wsCollapse(Py.strip(content))
+    // guard rationale mirrors CaseType.cleanComprehensiveContent
+    val hasPage = {
+      val f = Py.foldCase(c); f.contains("page") || f.contains("頁")
+    }
     if (c.indexOf('-') >= 0) c = Py.sub("""\s*-\s*\d+\s*-\s*""", " ", c)
     if (c.contains("___")) c = Py.sub("""\s*_{3,}\s*""", " ", c)
-    c = Py.sub("""\s*(?:page|頁)\s*\d+.*$""", "", c, I)
+    if (hasPage) c = Py.sub("""\s*(?:page|頁)\s*\d+.*$""", "", c, I)
     c = Py.sub("""^\s*(?:\d+\.\s*)?""", "", c)
     c = Py.sub("""^[,;.:\s]+""", "", c)
     c = Py.sub("""[.\s]+$""", "", c)

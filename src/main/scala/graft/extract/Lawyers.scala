@@ -189,9 +189,13 @@ object Lawyers {
   def cleanLawyerSegment(text: String): String = {
     if (text == null || text.isEmpty) return ""
     var c = Py.wsCollapse(Py.strip(text))
+    // guard rationale mirrors CaseType.cleanComprehensiveContent
+    val hasPage = {
+      val f = Py.foldCase(c); f.contains("page") || f.contains("頁") || f.contains("第")
+    }
     if (c.indexOf('-') >= 0) c = Py.sub("""\s*-\s*\d+\s*-\s*""", " ", c)
     if (c.contains("_____")) c = Py.sub("""\s*_{5,}\s*""", " ", c)
-    c = Py.sub("""(?i)\s*(?:page|頁|第.*頁).*$""", "", c)
+    if (hasPage) c = Py.sub("""(?i)\s*(?:page|頁|第.*頁).*$""", "", c)
     c = Py.sub("""^\s*[,;.:\s]+""", "", c)
     c = Py.sub("""[.\s]*$""", "", c)
     Py.strip(c)

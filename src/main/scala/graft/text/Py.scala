@@ -243,7 +243,11 @@ object Py {
     var i = 0
     while (i < n) {
       val c = s.charAt(i)
-      if (Character.isHighSurrogate(c) && i + 1 < n && Character.isLowSurrogate(s.charAt(i + 1))) {
+      if (c < 0x80) {
+        // ASCII fast path: only A-Z fold, and they fold to a-z
+        a(i) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        i += 1
+      } else if (Character.isHighSurrogate(c) && i + 1 < n && Character.isLowSurrogate(s.charAt(i + 1))) {
         val cp = Character.toCodePoint(c, s.charAt(i + 1))
         val f = Character.toLowerCase(Character.toUpperCase(cp))
         if (Character.charCount(f) == 2) {

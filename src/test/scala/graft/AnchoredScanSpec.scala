@@ -200,6 +200,23 @@ class AnchoredScanSpec extends AnyFunSuite {
     }
   }
 
+  test("formatThousands long fast path equals the BigDecimal half-even path") {
+    def slow(value: Double): String = {
+      val rounded = new java.math.BigDecimal(value)
+        .setScale(0, java.math.RoundingMode.HALF_EVEN)
+      val digits = rounded.toBigInteger.abs.toString
+      val grouped = digits.reverse.grouped(3).mkString(",").reverse
+      (if (rounded.signum() < 0) "-" else "") + grouped
+    }
+    val fixed = Seq(0.0, 0.5, 1.5, 2.5, 999.5, 1000.0, 1234.56, 999999.5,
+      1000000.0, 2.5e9, 123456789.99, 1e15, 9.9e15, 1.23e18, 0.4, 1234567.0)
+    val rng = new java.util.Random(99L)
+    val rand = (0 until 3000).map(_ => rng.nextDouble() * math.pow(10, rng.nextInt(17)))
+    (fixed ++ rand).foreach { v =>
+      assert(Amounts.formatThousands(v) == slow(v), s"formatThousands($v)")
+    }
+  }
+
   test("foldCase is length-preserving and agrees with the engine's fold on traps") {
     val traps = Seq("ſ" -> "s", "K" -> "k", "İ" -> "i", "A" -> "a", "ß" -> "ß")
     traps.foreach { case (in, out) =>
