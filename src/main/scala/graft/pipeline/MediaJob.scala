@@ -1248,6 +1248,15 @@ object MediaJob {
     if ((a & 0x80) != 0) t else -t
   }
 
+  /** MS-ADPCM standard coefficient pairs and adaptation table (public
+    * Microsoft Multimedia Standards Update spec). Files may carry extra
+    * pairs in the fmt chunk; the first 7 are fixed by the spec. */
+  private val msCoef1: Array[Int] = Array(256, 512, 0, 192, 240, 460, 392)
+  private val msCoef2: Array[Int] = Array(0, -256, 0, 64, 0, -208, -232)
+  private val msAdapt: Array[Int] = Array(
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230)
+
   /** IMA ADPCM step-size table and index adjustments (public IMA spec). */
   private val imaStep: Array[Int] = Array(
     7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
@@ -1261,7 +1270,8 @@ object MediaJob {
 
   /** REAL WAV sample decode → 16 per-window RMS energies. Supports PCM
     * (format 1) at 8-bit unsigned / 16/24/32-bit signed LE, IEEE float32
-    * (format 3), G.711 A-law/µ-law (formats 6/7), IMA ADPCM (format
+    * (format 3), MS-ADPCM (format 2, per-block coefficient predictors),
+    * G.711 A-law/µ-law (formats 6/7), IMA ADPCM (format
     * 0x11, block-structured 4-bit), and WAVE_FORMAT_EXTENSIBLE (0xFFFE)
     * wrapping any of these; any channel count ≤ 16 (channels are
     * energy-averaged together). The window RMS is normalized to full
@@ -1402,6 +1412,82 @@ object MediaJob {
         }
         Some((rate, nFrames, rmsWindows(nFrames, (f, c) => dec(f * chans + c))))
 
+      case 2 => // MS-ADPCM: per-block coef headers + signed 4-bit nibbles
+        if (bits != 4 || blockAlign < 7 * chans + 1 || blockAlign > dataLen)
+          return None
+        // fmt extras (wSamplesPerBlock @18, wNumCoef @20, pairs @22) are
+        // only present in the plain fmt-2 layout, not under EXTENSIBLE.
+        val hasExtra = fmt == 2 && fmtLen >= 22
+        val nCoef =
+          if (hasExtra) math.max(7, math.min(64, u16le(b, fmtBody + 20)))
+          else 7
+        val c1 = new Array[Int](nCoef); val c2 = new Array[Int](nCoef)
+        var ci = 0
+        while (ci < nCoef) {
+          if (ci < 7) { c1(ci) = msCoef1(ci); c2(ci) = msCoef2(ci) }
+          if (hasExtra && fmtLen >= 22 + 4 * (ci + 1)) {
+            c1(ci) = u16le(b, fmtBody + 22 + 4 * ci).toShort.toInt
+            c2(ci) = u16le(b, fmtBody + 24 + 4 * ci).toShort.toInt
+          }
+          ci += 1
+        }
+        val spb =
+          if (hasExtra && u16le(b, fmtBody + 18) > 0) u16le(b, fmtBody + 18)
+          else (blockAlign - 7 * chans) * 2 / chans + 2
+        if (spb < 2) return None
+        val nBlocks = dataLen / blockAlign
+        val nFrames = nBlocks * spb
+        if (nFrames == 0) return Some((rate, 0, Array.fill(16)(-0.5f)))
+        if (nFrames.toLong * chans > 16L * 1024 * 1024) return None
+        val dec = new Array[Float](nFrames * chans)
+        var blk = 0
+        while (blk < nBlocks) {
+          val base = dataOff + blk * blockAlign
+          // header, channel-interleaved: bPredictor u8 ×ch, iDelta s16 ×ch,
+          // iSamp1 s16 ×ch, iSamp2 s16 ×ch (7 bytes per channel total)
+          val coef = new Array[Int](chans); val delta = new Array[Int](chans)
+          val s1 = new Array[Int](chans); val s2 = new Array[Int](chans)
+          var c = 0
+          while (c < chans) {
+            coef(c) = math.min(nCoef - 1, b(base + c) & 0xff)
+            delta(c) = u16le(b, base + chans + 2 * c).toShort.toInt
+            if (delta(c) < 16) delta(c) = 16
+            s1(c) = u16le(b, base + 3 * chans + 2 * c).toShort.toInt
+            s2(c) = u16le(b, base + 5 * chans + 2 * c).toShort.toInt
+            // output order: iSamp2 is the OLDER sample, emitted first
+            dec((blk * spb) * chans + c) = s2(c) / 32768.0f
+            if (spb > 1) dec((blk * spb + 1) * chans + c) = s1(c) / 32768.0f
+            c += 1
+          }
+          // nibble data: samples interleaved across channels, two per
+          // byte, HIGH nibble first (opposite of IMA)
+          var s = 2
+          var nibAt = (base + 7 * chans) * 2 // nibble cursor (half-bytes)
+          val nibEnd = (base + blockAlign) * 2
+          while (s < spb && nibAt < nibEnd) {
+            var c3 = 0
+            while (c3 < chans && nibAt < nibEnd) {
+              val byte0 = b(nibAt >> 1) & 0xff
+              val nib = if ((nibAt & 1) == 0) (byte0 >> 4) & 0xf else byte0 & 0xf
+              nibAt += 1
+              // spec arithmetic: C-style truncating division by 256
+              val pred = (s1(c3) * c1(coef(c3)) + s2(c3) * c2(coef(c3))) / 256
+              val signed = if (nib >= 8) nib - 16 else nib
+              var v = pred + delta(c3) * signed
+              if (v > 32767) v = 32767
+              if (v < -32768) v = -32768
+              s2(c3) = s1(c3); s1(c3) = v
+              delta(c3) = delta(c3) * msAdapt(nib) / 256
+              if (delta(c3) < 16) delta(c3) = 16
+              dec((blk * spb + s) * chans + c3) = v / 32768.0f
+              c3 += 1
+            }
+            s += 1
+          }
+          blk += 1
+        }
+        Some((rate, nFrames, rmsWindows(nFrames, (f, c) => dec(f * chans + c))))
+
       case _ => None // unsupported codec → header/fold tier
     }
     } catch { case _: Exception => None } // corrupt input → header/fold tier
@@ -1473,12 +1559,12 @@ object MediaJob {
     *     dequant + IDCT, multi-scan accumulation), same grid feature;
     *  3. MJPEG-in-AVI video → REAL frame decode ([[decodeAviMjpeg]]):
     *     per-frame JPEG pixels, feature = mean of per-frame grids;
-    *  4. WAV (PCM 8/16/24/32, float32, G.711 A-law/µ-law, IMA ADPCM,
-    *     extensible) → REAL sample decode ([[decodeWavRms]]: 16 window
-    *     RMS energies);
+    *  4. WAV (PCM 8/16/24/32, float32, G.711 A-law/µ-law, MS-ADPCM,
+    *     IMA ADPCM, extensible) → REAL sample decode ([[decodeWavRms]]:
+    *     16 window RMS energies);
     *  5. recognized container but unsupported encoding (non-MJPEG AVI,
-    *     MP4/Matroska with a compressed codec payload, exotic WAV
-    *     codecs) → REAL header dims ([[probeHeader]], incl. the
+    *     MP4/Matroska with a compressed codec payload, compressed-audio
+    *     WAV codecs like MP3-in-WAV) → REAL header dims ([[probeHeader]], incl. the
     *     [[probeMp4]] moov walk and the [[probeMkv]] EBML walk) + the
     *     deterministic fold feature;
     *  6. unrecognized bytes → fully faked dims + fold feature.

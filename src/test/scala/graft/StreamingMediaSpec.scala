@@ -884,9 +884,105 @@ class StreamingMediaSpec extends AnyFunSuite {
     // the reconstruction itself must track the source (sanity on the codec)
     val err = recon.zip(src).map { case (a, b0) => math.abs(a - b0) }.max
     assert(err < 2500, s"ADPCM tracking error $err")
-    // unsupported codec (MS-ADPCM, fmt 2) → None, stub never throws
-    assert(MediaJob.decodeWavRms(wavFile(2, 1, 8000, 4, blockAlign, data.toArray)).isEmpty)
-    MediaJob.decodeStub("audio", wavFile(2, 1, 8000, 4, blockAlign, data.toArray))
+    // a still-unsupported codec (MP3-in-WAV, fmt 0x55) → None, never throws
+    assert(MediaJob.decodeWavRms(wavFile(0x55, 1, 8000, 4, blockAlign, data.toArray)).isEmpty)
+    MediaJob.decodeStub("audio", wavFile(0x55, 1, 8000, 4, blockAlign, data.toArray))
+  }
+
+  test("WAV MS-ADPCM: block decode matches the independent encoder's own reconstruction") {
+    // independent MS-ADPCM COMPRESSOR (public Microsoft spec): fixed
+    // coefficient pair per block, greedy nibble choice, tracking its own
+    // reconstruction with the spec's truncating /256 arithmetic — the
+    // kernel must land on exactly the same predictor trajectory.
+    val coef1 = Array(256, 512, 0, 192, 240, 460, 392)
+    val coef2 = Array(0, -256, 0, 64, 0, -208, -232)
+    val adapt = Array(230, 230, 230, 230, 307, 409, 512, 614,
+                      768, 614, 512, 409, 307, 230, 230, 230)
+    def encode(chans: Int, srcByCh: Array[Array[Int]], predIdx: Int,
+               spb: Int): (Array[Byte], Array[Array[Int]]) = {
+      val nBlocks = srcByCh(0).length / spb
+      val data = new scala.collection.mutable.ArrayBuffer[Byte]()
+      val recon = Array.fill(chans)(new scala.collection.mutable.ArrayBuffer[Int]())
+      for (blk <- 0 until nBlocks) {
+        val s1 = new Array[Int](chans); val s2 = new Array[Int](chans)
+        val dl = new Array[Int](chans)
+        for (c <- 0 until chans) {
+          s2(c) = srcByCh(c)(blk * spb)
+          s1(c) = srcByCh(c)(blk * spb + 1)
+          dl(c) = 64
+          recon(c) += s2(c); recon(c) += s1(c)
+        }
+        for (c <- 0 until chans) data += predIdx.toByte
+        for (c <- 0 until chans) data ++= wavLe16(dl(c) & 0xffff)
+        for (c <- 0 until chans) data ++= wavLe16(s1(c) & 0xffff)
+        for (c <- 0 until chans) data ++= wavLe16(s2(c) & 0xffff)
+        val nibs = new scala.collection.mutable.ArrayBuffer[Int]()
+        for (k <- 2 until spb; c <- 0 until chans) {
+          val pred = (s1(c) * coef1(predIdx) + s2(c) * coef2(predIdx)) / 256
+          val want = srcByCh(c)(blk * spb + k)
+          var signed = math.round((want - pred).toDouble / dl(c)).toInt
+          if (signed > 7) signed = 7
+          if (signed < -8) signed = -8
+          val nib = signed & 0xf
+          var v = pred + dl(c) * signed
+          if (v > 32767) v = 32767
+          if (v < -32768) v = -32768
+          s2(c) = s1(c); s1(c) = v
+          dl(c) = dl(c) * adapt(nib) / 256
+          if (dl(c) < 16) dl(c) = 16
+          recon(c) += v
+          nibs += nib
+        }
+        // two samples per byte, HIGH nibble first
+        nibs.grouped(2).foreach(p =>
+          data += (((p(0) << 4) | p.lift(1).getOrElse(0)) & 0xff).toByte)
+      }
+      (data.toArray, recon.map(_.toArray))
+    }
+    def rmsExpect(chans: Int, recon: Array[Array[Int]]): Array[Float] = {
+      val frames = recon(0).length
+      Array.tabulate(16) { win =>
+        val f0 = win * frames / 16; val f1 = (win + 1) * frames / 16
+        val vs = for (f <- f0 until f1; c <- 0 until chans)
+          yield (recon(c)(f) / 32768.0f).toDouble
+        if (vs.isEmpty) -0.5f
+        else (math.sqrt(vs.map(v => v * v).sum / vs.length) - 0.5).toFloat
+      }
+    }
+
+    // mono, predictor 0, smooth signal
+    val spb = 32
+    val blockAlignM = 7 + (spb - 2) / 2 // 7*chans header + nibble bytes
+    val srcM = Array.tabulate(4 * spb)(i => (math.sin(i * 0.15) * 11000).toInt)
+    val (dataM, reconM) = encode(1, Array(srcM), 0, spb)
+    val bytesM = wavFile(2, 1, 8000, 4, blockAlignM, dataM)
+    val gotM = MediaJob.decodeWavRms(bytesM)
+    assert(gotM.isDefined, "MS-ADPCM mono rejected")
+    val (rateM, framesM, featM) = gotM.get
+    assert(rateM == 8000 && framesM == 4 * spb)
+    val expM = rmsExpect(1, reconM)
+    for (k <- 0 until 16)
+      assert(math.abs(featM(k) - expM(k)) < 1e-6, s"mono window $k: ${featM(k)} vs ${expM(k)}")
+    // the reconstruction itself must track the source (codec sanity)
+    val errM = reconM(0).zip(srcM).map { case (a, b0) => math.abs(a - b0) }.max
+    assert(errM < 3000, s"MS-ADPCM tracking error $errM")
+
+    // stereo, predictor 1 (coef2 negative branch), distinct per-channel signals
+    val srcL = Array.tabulate(3 * spb)(i => (math.sin(i * 0.11) * 9000).toInt)
+    val srcR = Array.tabulate(3 * spb)(i => (math.cos(i * 0.23) * 6000).toInt)
+    val blockAlignS = 14 + (spb - 2) // 7*2 header + 2 nibbles/sample-pair
+    val (dataS, reconS) = encode(2, Array(srcL, srcR), 1, spb)
+    val gotS = MediaJob.decodeWavRms(wavFile(2, 2, 16000, 4, blockAlignS, dataS))
+    assert(gotS.isDefined, "MS-ADPCM stereo rejected")
+    val (rateS, framesS, featS) = gotS.get
+    assert(rateS == 16000 && framesS == 3 * spb)
+    val expS = rmsExpect(2, reconS)
+    for (k <- 0 until 16)
+      assert(math.abs(featS(k) - expS(k)) < 1e-6, s"stereo window $k: ${featS(k)} vs ${expS(k)}")
+
+    // truncated data / crafted blockAlign degrade to None, never throw
+    assert(MediaJob.decodeWavRms(wavFile(2, 1, 8000, 4, 6, dataM)).isEmpty) // < header
+    MediaJob.decodeStub("audio", bytesM.take(bytesM.length / 2))
   }
 
   test("media feature extraction: schema, determinism, doc join") {
