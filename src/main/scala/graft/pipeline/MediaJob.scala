@@ -73,6 +73,15 @@ object MediaJob {
       val w = u32be(b, 16); val h = u32be(b, 20)
       return if (w > 0 && h > 0) Some((w, h, 3)) else None
     }
+    // GIF: "GIF87a"/"GIF89a" then the logical screen descriptor (u16le
+    // dims). Header-only fallback for GIFs whose LZW payload is corrupt —
+    // a decodable GIF never reaches here (decodeGif runs first in the
+    // feature tiers). Untrusted dims: only positive geometry reports.
+    if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      val w = u16le(b, 6); val h = u16le(b, 8)
+      return if (w > 0 && h > 0) Some((w, h, 3)) else None
+    }
     // JPEG: FF D8, then marker segments; SOF0-15 (minus DHT/JPG/DAC) carry
     // the frame header: [len][precision][height:2][width:2]
     if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
@@ -1206,6 +1215,277 @@ object MediaJob {
     } catch { case _: Exception => None }
   }
 
+  /** GIF LZW decompression (the variable-code-width LZW variant the
+    * GIF89a spec defines, LSB-first bit packing). `data` is the
+    * concatenated image sub-block bytes; emits at most `nPixels` palette
+    * indices. A truncated stream returns the pixels decoded so far (the
+    * canvas keeps its prior content there) — only a structurally invalid
+    * code stream returns None. */
+  private def gifLzw(data: Array[Byte], minCode: Int, nPixels: Int): Option[Array[Int]] = {
+    if (minCode < 2 || minCode > 11 || nPixels <= 0) return None
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var dictSize = eoi + 1
+    var codeSize = minCode + 1
+    val out = new Array[Int](nPixels)
+    var outN = 0
+    var bitPos = 0L
+    val bitEnd = data.length.toLong * 8
+    def read(): Int = {
+      if (bitPos + codeSize > bitEnd) return -1
+      var v = 0; var k = 0
+      while (k < codeSize) {
+        val p = bitPos + k
+        v |= ((data((p >> 3).toInt) >> (p & 7).toInt) & 1) << k
+        k += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    // first code of a dictionary entry's expansion: walk the prefix chain
+    def firstOf(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    var prev = -1
+    var done = false
+    while (!done && outN < nPixels) {
+      val code = read()
+      if (code < 0 || code == eoi) done = true // truncated or EOI: accept partial
+      else if (code == clear) {
+        dictSize = eoi + 1; codeSize = minCode + 1; prev = -1
+      } else if (prev == -1) {
+        if (code >= clear) return None // first code after clear must be a literal
+        out(outN) = code; outN += 1; prev = code
+      } else {
+        var emitFirst = 0
+        var top = 0
+        if (code < dictSize) {
+          // known code: push its expansion (reverse order) onto the stack
+          var c = code
+          while (c >= clear) { stack(top) = suffix(c); top += 1; c = prefix(c) }
+          stack(top) = c.toByte; top += 1
+          emitFirst = c
+        } else if (code == dictSize) {
+          // the K-omega-K case: expansion = string(prev) + firstOf(prev)
+          val f = firstOf(prev)
+          stack(top) = f.toByte; top += 1
+          var c = prev
+          while (c >= clear) { stack(top) = suffix(c); top += 1; c = prefix(c) }
+          stack(top) = c.toByte; top += 1
+          emitFirst = c
+        } else return None // code beyond dict+1: invalid stream
+        while (top > 0 && outN < nPixels) {
+          top -= 1; out(outN) = stack(top) & 0xff; outN += 1
+        }
+        if (dictSize < 4096) {
+          prefix(dictSize) = prev; suffix(dictSize) = emitFirst.toByte
+          dictSize += 1
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    Some(java.util.Arrays.copyOf(out, outN))
+  }
+
+  /** Palette entry → 8-bit luma, same Rec. 601 weights as the PNG path. */
+  private def gifLuma(pal: Array[Byte], idx: Int): Float = {
+    val p = idx * 3
+    if (p + 2 >= pal.length) 0.0f
+    else 0.299f * (pal(p) & 0xff) + 0.587f * (pal(p + 1) & 0xff) +
+      0.114f * (pal(p + 2) & 0xff)
+  }
+
+  /** Skip a chain of GIF data sub-blocks starting at `start`; returns the
+    * index just past the 0x00 terminator (or b.length when truncated).
+    * Cursor arithmetic in Long — sub-block lengths are untrusted bytes. */
+  private def gifSkipSub(b: Array[Byte], start: Int): Int = {
+    var i = start.toLong
+    while (i < b.length) {
+      val n = b(i.toInt) & 0xff
+      if (n == 0) return (i + 1).toInt
+      i += 1 + n
+    }
+    b.length
+  }
+
+  /** REAL GIF decode — GIF87a/GIF89a per the public CompuServe/W3C spec:
+    * logical-screen + global/local color tables, per-image LZW
+    * decompression ([[gifLzw]]), 4-pass interlace, and GIF89a Graphic
+    * Control Extension semantics (transparency index, disposal methods
+    * none/keep/restore-to-background/restore-to-previous) composited
+    * frame-by-frame onto the logical screen. Returns
+    * (screenW, screenH, totalFrames, per-frame 16-dim grid features
+    * (≤ maxDecode decoded), first-frame full luma plane). Frame count
+    * keeps counting past maxDecode via header-only sub-block skips.
+    * All allocation is capped (canvas ≤ 16M pixels) and every cursor
+    * uses the Long-arithmetic pattern the other byte walks share; corrupt
+    * bytes degrade to the already-decoded prefix or None, never a throw. */
+  private[graft] def decodeGif(b: Array[Byte], maxDecode: Int = 64)
+      : Option[(Int, Int, Int, Array[Array[Float]], Array[Float])] = {
+    try {
+      if (b == null || b.length < 14) return None
+      if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+            (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
+      val sw = u16le(b, 6); val sh = u16le(b, 8)
+      if (sw <= 0 || sh <= 0 || sw.toLong * sh > (16L << 20)) return None
+      val packed = b(10) & 0xff
+      var i = 13
+      var gct: Array[Byte] = null
+      if ((packed & 0x80) != 0) {
+        val n = 2 << (packed & 7)
+        if (i + 3 * n > b.length) return None
+        gct = java.util.Arrays.copyOfRange(b, i, i + 3 * n)
+        i += 3 * n
+      }
+      val canvas = new Array[Float](sw * sh)
+      val bgIdx = b(11) & 0xff
+      val bgLuma = if (gct != null) gifLuma(gct, bgIdx) else 0.0f
+      java.util.Arrays.fill(canvas, bgLuma)
+      var transparent = -1
+      var disposal = 0
+      var frames = 0
+      var firstLuma: Array[Float] = null
+      val grids = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      var walking = true
+      while (walking && i < b.length) {
+        (b(i) & 0xff) match {
+          case 0x3b => walking = false // trailer
+          case 0x21 => // extension block: [label][sub-blocks...0]
+            if (i + 2 > b.length) { walking = false }
+            else {
+              val label = b(i + 1) & 0xff
+              i += 2
+              // GIF89a Graphic Control Extension: disposal + transparency
+              if (label == 0xf9 && i + 5 <= b.length && (b(i) & 0xff) >= 4) {
+                val flags = b(i + 1) & 0xff
+                disposal = (flags >> 2) & 7
+                transparent = if ((flags & 1) != 0) b(i + 4) & 0xff else -1
+              }
+              i = gifSkipSub(b, i)
+            }
+          case 0x2c => // image descriptor
+            if (i + 10 > b.length) { walking = false }
+            else {
+              val left = u16le(b, i + 1); val top = u16le(b, i + 3)
+              val fw = u16le(b, i + 5); val fh = u16le(b, i + 7)
+              val ip = b(i + 9) & 0xff
+              i += 10
+              var lct: Array[Byte] = null
+              if ((ip & 0x80) != 0) {
+                val n = 2 << (ip & 7)
+                if (i + 3 * n > b.length) return finishGif(sw, sh, frames, grids, firstLuma)
+                lct = java.util.Arrays.copyOfRange(b, i, i + 3 * n)
+                i += 3 * n
+              }
+              val pal = if (lct != null) lct else gct
+              if (i >= b.length) return finishGif(sw, sh, frames, grids, firstLuma)
+              if (pal == null || fw <= 0 || fh <= 0 ||
+                  left.toLong + fw > sw || top.toLong + fh > sh) {
+                // undrawable frame (no color table / out-of-bounds rect):
+                // count it, skip its data, composite nothing
+                frames += 1
+                i += 1 // skip the LZW min-code-size byte
+                i = gifSkipSub(b, i)
+              } else {
+                val minCode = b(i) & 0xff; i += 1
+                frames += 1
+                if (frames <= maxDecode) {
+                  // concatenate the image's data sub-blocks
+                  val buf = new java.io.ByteArrayOutputStream()
+                  var j = i.toLong
+                  var sub = true
+                  while (sub && j < b.length) {
+                    val n = b(j.toInt) & 0xff
+                    if (n == 0) sub = false
+                    else {
+                      val upTo = math.min(b.length.toLong, j + 1 + n).toInt
+                      buf.write(b, (j + 1).toInt, upTo - (j + 1).toInt)
+                      j += 1 + n
+                    }
+                  }
+                  gifLzw(buf.toByteArray, minCode, fw * fh) match {
+                    case Some(px) =>
+                      // disposal 3: snapshot the canvas to restore after
+                      val saved =
+                        if (disposal == 3) java.util.Arrays.copyOf(canvas, canvas.length)
+                        else null
+                      // composite: sequential decoded rows map through the
+                      // 4-pass interlace grid when the interlace flag is set
+                      var row = 0
+                      var pass = 0
+                      val passStart = Array(0, 4, 2, 1)
+                      val passStep = Array(8, 8, 4, 2)
+                      var oy = 0
+                      var k = 0
+                      while (row < fh && k < px.length) {
+                        val destY =
+                          if ((ip & 0x40) != 0) oy
+                          else row
+                        var x = 0
+                        while (x < fw && k < px.length) {
+                          val idx = px(k)
+                          if (idx != transparent)
+                            canvas((top + destY) * sw + (left + x)) = gifLuma(pal, idx)
+                          k += 1; x += 1
+                        }
+                        row += 1
+                        if ((ip & 0x40) != 0) {
+                          oy += passStep(pass)
+                          while (pass < 3 && oy >= fh) {
+                            pass += 1; oy = passStart(pass)
+                          }
+                        }
+                      }
+                      grids += gridPool16(sw, sh, canvas)
+                      if (firstLuma == null)
+                        firstLuma = java.util.Arrays.copyOf(canvas, canvas.length)
+                      // post-frame disposal for the NEXT frame's base
+                      if (disposal == 2) {
+                        var y = 0
+                        while (y < fh) {
+                          var x = 0
+                          while (x < fw) {
+                            canvas((top + y) * sw + (left + x)) = bgLuma
+                            x += 1
+                          }
+                          y += 1
+                        }
+                      } else if (disposal == 3 && saved != null) {
+                        System.arraycopy(saved, 0, canvas, 0, canvas.length)
+                      }
+                    case None =>
+                      return finishGif(sw, sh, frames, grids, firstLuma)
+                  }
+                }
+                i = gifSkipSub(b, i)
+              }
+              transparent = -1; disposal = 0
+            }
+          case _ => walking = false // unknown block type: accept the prefix
+        }
+      }
+      finishGif(sw, sh, frames, grids, firstLuma)
+    } catch { case _: Exception => None }
+  }
+
+  private def finishGif(sw: Int, sh: Int, frames: Int,
+                        grids: scala.collection.mutable.ArrayBuffer[Array[Float]],
+                        firstLuma: Array[Float])
+      : Option[(Int, Int, Int, Array[Array[Float]], Array[Float])] =
+    if (frames == 0 || grids.isEmpty || firstLuma == null) None
+    else Some((sw, sh, frames, grids.toArray, firstLuma))
+
+  /** First decoded GIF frame as a full luma plane — the shape the image
+    * resize path consumes (mirrors [[decodePngLuma]]/[[decodeJpegLuma]]). */
+  private[graft] def decodeGifLuma(b: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+    decodeGif(b, maxDecode = 1).map { case (w, h, _, _, luma) => (w, h, 3, luma) }
+
   /** 4x4 grid mean-pool of a luminance image → the 16-dim feature,
     * normalized to [-0.5, 0.5] (0 = black, 1 = white before the shift).
     * Cell boundaries partition rows/cols evenly (ceil-split), so every
@@ -1557,7 +1837,11 @@ object MediaJob {
     *  2. baseline or progressive JPEG → REAL pixel decode
     *     ([[decodeJpegLuma]] / [[decodeJpegProgressive]]: Huffman +
     *     dequant + IDCT, multi-scan accumulation), same grid feature;
-    *  3. MJPEG-in-AVI video → REAL frame decode ([[decodeAviMjpeg]]):
+    *  3. GIF (87a/89a, still or animated) → REAL pixel decode
+    *     ([[decodeGif]]: LZW + palette + interlace + GCE compositing);
+    *     still = grid of the frame, animated = mean of per-frame grids
+    *     with dim3 carrying the frame count;
+    *  3b. MJPEG-in-AVI video → REAL frame decode ([[decodeAviMjpeg]]):
     *     per-frame JPEG pixels, feature = mean of per-frame grids;
     *  4. WAV (PCM 8/16/24/32, float32, G.711 A-law/µ-law, MS-ADPCM,
     *     IMA ADPCM, extensible) → REAL sample decode ([[decodeWavRms]]:
@@ -1573,7 +1857,8 @@ object MediaJob {
     * Only tier 5-6's FEATURE VECTOR is faked (a stable byte fold):
     * compressed video PIXEL codecs (H.264/VP9 etc.) are out of scope to
     * write from scratch in this container. PNG pixels (every depth and
-    * interlace mode), baseline AND progressive JPEG pixels, MJPEG-AVI
+    * interlace mode), baseline AND progressive JPEG pixels, GIF frames
+    * (still + animated), MJPEG-AVI
     * frames and WAV PCM samples are all decoded for real above, and
     * MP4/Matroska geometry/frame counts parse for real; swapping in
     * further codecs extends the dispatch.
@@ -1587,6 +1872,20 @@ object MediaJob {
     decodeJpegLuma(b) match {
       case Some((w, h, ch, luma)) => return (w, h, ch, gridPool16(w, h, luma))
       case None => ()
+    }
+    decodeGif(b) match {
+      // still GIF: dims carry channels like the other image tiers;
+      // animated GIF: dim3 carries the frame count and the feature is the
+      // mean of per-frame grids, mirroring the MJPEG-AVI tier
+      case Some((w, h, 1, grids, _)) => return (w, h, 3, grids(0))
+      case Some((w, h, n, grids, _)) if grids.nonEmpty =>
+        val mean = Array.tabulate(16) { k =>
+          var s = 0.0; var j = 0
+          while (j < grids.length) { s += grids(j)(k); j += 1 }
+          (s / grids.length).toFloat
+        }
+        return (w, h, n, mean)
+      case _ => ()
     }
     decodeAviMjpeg(b) match {
       case Some((w, h, n, frames)) if frames.nonEmpty =>
@@ -1728,7 +2027,7 @@ object MediaJob {
       .filter(_._3 == "image")
       .map { case (ref, docId, _, bytes) =>
         val b = if (bytes == null) Array.empty[Byte] else bytes
-        decodePngLuma(b).orElse(decodeJpegLuma(b)) match {
+        decodePngLuma(b).orElse(decodeJpegLuma(b)).orElse(decodeGifLuma(b)) match {
           case Some((w, h, _, luma)) =>
             val (ow, oh) = fitWithin(w, h, maxW, maxH)
             val rs = bilinearResize(w, h, luma, ow, oh)

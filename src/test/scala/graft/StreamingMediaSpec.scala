@@ -1407,6 +1407,252 @@ class StreamingMediaSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Independent GIF encoder: its own LZW COMPRESSOR (hash-chained, clear-
+  // on-full, standard non-early code-width bump), logical screen + GCE +
+  // image descriptor assembly, and encoder-side interlace row reordering —
+  // so the kernel's decoder is pinned against a separate derivation of the
+  // GIF89a spec, not against itself.
+  private def gifLzwCompress(indices: Array[Int], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0L; var nbits = 0
+    var codeSize = minCode + 1
+    def emit(code: Int): Unit = {
+      cur |= code.toLong << nbits; nbits += codeSize
+      while (nbits >= 8) { out.write((cur & 0xff).toInt); cur >>= 8; nbits -= 8 }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var nextCode = eoi + 1
+    emit(clear)
+    var prev = -1
+    for (s <- indices) {
+      if (prev == -1) prev = s
+      else dict.get((prev, s)) match {
+        case Some(c) => prev = c
+        case None =>
+          emit(prev)
+          if (nextCode < 4096) {
+            dict((prev, s)) = nextCode; nextCode += 1
+            // standard (non-early) bump: the decoder widens after its dict
+            // reaches 2^codeSize, which is nextCode - 1 on this side
+            if (nextCode == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+          } else {
+            emit(clear)
+            dict.clear(); nextCode = eoi + 1; codeSize = minCode + 1
+          }
+          prev = s
+      }
+    }
+    if (prev != -1) emit(prev)
+    emit(eoi)
+    if (nbits > 0) out.write((cur & 0xff).toInt)
+    out.toByteArray
+  }
+
+  private def gifLe16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+
+  private case class GifFrame(left: Int, top: Int, w: Int, h: Int,
+                              indices: Array[Int], interlace: Boolean = false,
+                              lct: Array[Byte] = null, transparent: Int = -1,
+                              disposal: Int = 0)
+
+  private def gifCtBits(ct: Array[Byte]): Int = {
+    // color table size field: 2^(bits+1) entries
+    var bits = 0
+    while ((2 << bits) < ct.length / 3) bits += 1
+    bits
+  }
+
+  private def encodeGif(sw: Int, sh: Int, gct: Array[Byte], bg: Int,
+                        frames: Seq[GifFrame],
+                        version: String = "89a"): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(("GIF" + version).getBytes("US-ASCII"))
+    out.write(gifLe16(sw)); out.write(gifLe16(sh))
+    out.write(if (gct != null) 0x80 | gifCtBits(gct) else 0)
+    out.write(bg); out.write(0)
+    if (gct != null) out.write(gct)
+    for (f <- frames) {
+      if (f.transparent >= 0 || f.disposal > 0) {
+        out.write(0x21); out.write(0xf9); out.write(4)
+        out.write((f.disposal << 2) | (if (f.transparent >= 0) 1 else 0))
+        out.write(gifLe16(0))
+        out.write(if (f.transparent >= 0) f.transparent else 0)
+        out.write(0)
+      }
+      out.write(0x2c)
+      out.write(gifLe16(f.left)); out.write(gifLe16(f.top))
+      out.write(gifLe16(f.w)); out.write(gifLe16(f.h))
+      out.write((if (f.lct != null) 0x80 | gifCtBits(f.lct) else 0) |
+        (if (f.interlace) 0x40 else 0))
+      if (f.lct != null) out.write(f.lct)
+      val palEntries = (if (f.lct != null) f.lct.length else gct.length) / 3
+      var minCode = 2
+      while ((1 << minCode) < palEntries) minCode += 1
+      out.write(minCode)
+      // interlace: the FILE stores rows in 4-pass order (8/8, 8/8+4,
+      // 4/2+2, 2/1+1) — reorder here so the decoder must undo it
+      val seq =
+        if (!f.interlace) f.indices
+        else {
+          val rows = Seq(0 -> 8, 4 -> 8, 2 -> 4, 1 -> 2).flatMap {
+            case (start, step) => start until f.h by step
+          }
+          rows.flatMap(y => (0 until f.w).map(x => f.indices(y * f.w + x))).toArray
+        }
+      val lzw = gifLzwCompress(seq, minCode)
+      var p = 0
+      while (p < lzw.length) {
+        val n = math.min(255, lzw.length - p)
+        out.write(n); out.write(lzw, p, n)
+        p += n
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  private def grayCt(n: Int): Array[Byte] =
+    Array.tabulate[Byte](n * 3)(i => ((i / 3) * 256 / n).toByte)
+
+  private def lumaOfCt(ct: Array[Byte], idx: Int): Float =
+    0.299f * (ct(idx * 3) & 0xff) + 0.587f * (ct(idx * 3 + 1) & 0xff) +
+      0.114f * (ct(idx * 3 + 2) & 0xff)
+
+  test("GIF decode: LZW + palette recovers known pixels exactly (still, 87a and 89a)") {
+    // 16x8 gradient over a 256-entry gray palette: index == gray value
+    val w = 16; val h = 8
+    val ct = Array.tabulate[Byte](256 * 3)(i => (i / 3).toByte)
+    val idx = Array.tabulate(w * h)(k => (k * 255) / (w * h - 1))
+    for (ver <- Seq("87a", "89a")) {
+      val gif = encodeGif(w, h, ct, 0, Seq(GifFrame(0, 0, w, h, idx)), ver)
+      val dec = MediaJob.decodeGifLuma(gif)
+      assert(dec.isDefined, s"GIF$ver must decode")
+      val (dw, dh, ch, luma) = dec.get
+      assert((dw, dh, ch) == (w, h, 3))
+      idx.zipWithIndex.foreach { case (v, k) =>
+        assert(math.abs(luma(k) - lumaOfCt(ct, v)) < 1e-3f,
+          s"pixel $k: got ${luma(k)}, palette index $v")
+      }
+    }
+  }
+
+  test("GIF decode: interlaced file yields the same pixels as sequential") {
+    val w = 11; val h = 13 // odd dims exercise pass-boundary arithmetic
+    val ct = Array.tabulate[Byte](256 * 3)(i => (i / 3).toByte)
+    val idx = Array.tabulate(w * h)(k => (k * 131 + 17) % 256)
+    val plain = MediaJob.decodeGifLuma(
+      encodeGif(w, h, ct, 0, Seq(GifFrame(0, 0, w, h, idx)))).get
+    val inter = MediaJob.decodeGifLuma(
+      encodeGif(w, h, ct, 0, Seq(GifFrame(0, 0, w, h, idx, interlace = true)))).get
+    assert(plain._4.sameElements(inter._4),
+      "interlace is a row permutation — decoded planes must be identical")
+  }
+
+  test("GIF decode: dictionary growth to 12-bit codes and clear-on-full round-trips") {
+    // 96x96 pseudo-random 256-color noise: ~9k pixels with low repetition
+    // forces the dict through every code width and past 4096 entries, so
+    // the compressor emits a mid-stream CLEAR the decoder must honor
+    val w = 96; val h = 96
+    val ct = Array.tabulate[Byte](256 * 3)(i => (i / 3).toByte)
+    val rng = new scala.util.Random(0x61f5eed)
+    val idx = Array.fill(w * h)(rng.nextInt(256))
+    val gif = encodeGif(w, h, ct, 0, Seq(GifFrame(0, 0, w, h, idx)))
+    val (dw, dh, _, luma) = MediaJob.decodeGifLuma(gif).get
+    assert((dw, dh) == (w, h))
+    idx.zipWithIndex.foreach { case (v, k) =>
+      assert(math.abs(luma(k) - lumaOfCt(ct, v)) < 1e-3f, s"pixel $k after dict reset")
+    }
+  }
+
+  test("GIF decode: animation composites sub-rect frames with transparency and disposal") {
+    val sw = 8; val sh = 8
+    val ct = grayCt(4) // 4 gray levels: 0, 64, 128, 192
+    // frame 1: full screen of index 1; frame 2: 4x4 patch at (2,2) of
+    // index 3 with index 0 transparent in a checker pattern
+    val f1 = GifFrame(0, 0, sw, sh, Array.fill(sw * sh)(1))
+    val patch = Array.tabulate(16)(k => if ((k + k / 4) % 2 == 0) 3 else 0)
+    val f2 = GifFrame(2, 2, 4, 4, patch, transparent = 0)
+    val gif = encodeGif(sw, sh, ct, 0, Seq(f1, f2))
+    val dec = MediaJob.decodeGif(gif)
+    assert(dec.isDefined)
+    val (dw, dh, n, grids, firstLuma) = dec.get
+    assert((dw, dh, n) == (sw, sh, 2) && grids.length == 2)
+    // first frame: uniformly index 1
+    firstLuma.foreach(v => assert(math.abs(v - lumaOfCt(ct, 1)) < 1e-3f))
+    // second frame's grid equals the grid of the hand-composited canvas
+    val canvas = Array.fill(sw * sh)(lumaOfCt(ct, 1))
+    for (y <- 0 until 4; x <- 0 until 4; if (x + y) % 2 == 0)
+      canvas((2 + y) * sw + (2 + x)) = lumaOfCt(ct, 3)
+    val expect = MediaJob.gridPool16(sw, sh, canvas)
+    assert(grids(1).sameElements(expect),
+      "transparent pixels must keep the prior frame's content")
+
+    // disposal 2: frame 1 restores to background before frame 2 draws
+    val bgIdx = 2
+    val f1d = f1.copy(disposal = 2, transparent = 99) // GCE present; 99 unused
+    val gifD = encodeGif(sw, sh, ct, bgIdx, Seq(f1d, f2))
+    val (_, _, _, gridsD, _) = MediaJob.decodeGif(gifD).get
+    val canvasD = Array.fill(sw * sh)(lumaOfCt(ct, bgIdx))
+    for (y <- 0 until 4; x <- 0 until 4; if (x + y) % 2 == 0)
+      canvasD((2 + y) * sw + (2 + x)) = lumaOfCt(ct, 3)
+    assert(gridsD(1).sameElements(MediaJob.gridPool16(sw, sh, canvasD)),
+      "disposal=2 must restore the frame rect to the background color")
+  }
+
+  test("GIF decode: local color table overrides the global one") {
+    val sw = 4; val sh = 4
+    val gct = grayCt(4)
+    val lct = Array.tabulate[Byte](4 * 3) { i =>
+      (255 - (i / 3) * 60).toByte // a distinct, decreasing palette
+    }
+    val idx = Array.tabulate(16)(_ % 4)
+    val gif = encodeGif(sw, sh, gct, 0, Seq(GifFrame(0, 0, sw, sh, idx, lct = lct)))
+    val (_, _, _, luma) = MediaJob.decodeGifLuma(gif).get
+    idx.zipWithIndex.foreach { case (v, k) =>
+      assert(math.abs(luma(k) - lumaOfCt(lct, v)) < 1e-3f,
+        "pixels must resolve through the LOCAL color table")
+    }
+  }
+
+  test("GIF dispatch: decodeStub tiers, probeHeader fallback, crafted-byte safety") {
+    val ct = Array.tabulate[Byte](256 * 3)(i => (i / 3).toByte)
+    val idx = Array.tabulate(64)(k => (k * 4) % 256)
+    val still = encodeGif(8, 8, ct, 0, Seq(GifFrame(0, 0, 8, 8, idx)))
+    val (w1, h1, d1, feat1) = MediaJob.decodeStub("image", still)
+    assert((w1, h1, d1) == (8, 8, 3) && feat1.length == 16)
+
+    val anim = encodeGif(8, 8, ct, 0,
+      Seq(GifFrame(0, 0, 8, 8, idx), GifFrame(0, 0, 8, 8, idx.reverse)))
+    val (w2, h2, d2, feat2) = MediaJob.decodeStub("image", anim)
+    assert((w2, h2, d2) == (8, 8, 2), "animated GIF: dim3 = frame count")
+    assert(feat2.forall(v => !v.isNaN))
+
+    // header-only fallback: a GIF with no image blocks decodes to None but
+    // the probe still reports the logical-screen dims
+    val headerOnly = still.take(13 + 768) ++ Array[Byte](0x3b)
+    assert(MediaJob.decodeGif(headerOnly).isEmpty)
+    assert(MediaJob.probeHeader("image", headerOnly) == Some((8, 8, 3)))
+
+    // truncation mid-LZW: decoded prefix or None, never a throw
+    for (cut <- Seq(14, 20, 13 + 768 + 5, still.length - 3))
+      MediaJob.decodeGif(still.take(cut)) // must not throw
+    // crafted: huge declared screen (allocation cap) and zero dims
+    val huge = still.clone()
+    huge(6) = 0xff.toByte; huge(7) = 0xff.toByte
+    huge(8) = 0xff.toByte; huge(9) = 0xff.toByte
+    assert(MediaJob.decodeGif(huge).isEmpty, "65535x65535 exceeds the pixel cap")
+    val zero = still.clone(); zero(6) = 0; zero(7) = 0
+    assert(MediaJob.decodeGif(zero).isEmpty)
+    // an out-of-bounds frame rect is counted but not drawn
+    val oob = encodeGif(4, 4, grayCt(4), 0,
+      Seq(GifFrame(2, 2, 4, 4, Array.fill(16)(1)))) // rect spills past 4x4
+    assert(MediaJob.decodeGif(oob).isEmpty, "only-frame out of bounds -> nothing drawable")
+  }
+
   test("mutation fuzz: corrupted valid containers never throw and always yield a 16-dim finite feature") {
     // The highest-yield fuzz seeds are VALID files: random byte flips,
     // truncations, length-field splices and garbage tails reach the deep
@@ -1458,9 +1704,16 @@ class StreamingMediaSpec extends AnyFunSuite {
     val adpcmData = wavLe16(0) ++ Array[Byte](0, 0) ++
       Array.tabulate[Byte](16)(i => ((i * 0x93) & 0xff).toByte)
     val adpcm = wavFile(0x11, 1, 8000, 4, 20, adpcmData)
+    // an animated transparent GIF reaches the LZW, compositing and
+    // sub-block walk branches
+    val gifCt = Array.tabulate[Byte](16 * 3)(i => ((i / 3) * 16).toByte)
+    val gifIdx = Array.tabulate(64)(k => k % 16)
+    val gif = encodeGif(8, 8, gifCt, 0,
+      Seq(GifFrame(0, 0, 8, 8, gifIdx),
+        GifFrame(2, 2, 4, 4, Array.tabulate(16)(_ % 16), transparent = 3)))
     val seeds = Seq("image" -> png, "image" -> pngI16, "image" -> jpeg,
-      "image" -> jpegProg, "video" -> avi, "video" -> mp4, "video" -> mkv,
-      "audio" -> wav, "audio" -> adpcm)
+      "image" -> jpegProg, "image" -> gif, "video" -> avi, "video" -> mp4,
+      "video" -> mkv, "audio" -> wav, "audio" -> adpcm)
     def mutate(b: Array[Byte]): Array[Byte] = rng.nextInt(4) match {
       case 0 if b.nonEmpty => // flip 1-8 random bytes
         val m = b.clone()
