@@ -73,6 +73,15 @@ object MediaJob {
       val w = u32be(b, 16); val h = u32be(b, 20)
       return if (w > 0 && h > 0) Some((w, h, 3)) else None
     }
+    // BMP: "BM" then a DIB header; s32le dims (negative height = top-down).
+    // Header-only fallback for BMPs whose pixel payload is corrupt.
+    if (b.length >= 30 && b(0) == 'B' && b(1) == 'M') {
+      val dib = u32le(b, 14)
+      val (w, h) =
+        if (dib == 12) (u16le(b, 18), u16le(b, 20))
+        else (u32le(b, 18), math.abs(u32le(b, 22)))
+      return if (dib >= 12 && w > 0 && h > 0) Some((w, h, 3)) else None
+    }
     // GIF: "GIF87a"/"GIF89a" then the logical screen descriptor (u16le
     // dims). Header-only fallback for GIFs whose LZW payload is corrupt —
     // a decodable GIF never reaches here (decodeGif runs first in the
@@ -1486,6 +1495,179 @@ object MediaJob {
   private[graft] def decodeGifLuma(b: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
     decodeGif(b, maxDecode = 1).map { case (w, h, _, _, luma) => (w, h, 3, luma) }
 
+  /** REAL BMP decode — the Windows DIB formats per the public file-format
+    * documentation: BITMAPCOREHEADER (12-byte, u16 dims, BGR triples) and
+    * BITMAPINFOHEADER-or-later (s32 dims, negative height = top-down,
+    * BGRA palette quads), bit depths 1/4/8 (palette), 16 (RGB555 or
+    * BITFIELDS masks), 24 (BGR) and 32 (BGRx or BITFIELDS), compressions
+    * BI_RGB, BI_RLE8, BI_RLE4 (run + absolute mode + delta/EOL/EOB
+    * escapes) and BI_BITFIELDS. Rows are 4-byte aligned; bottom-up unless
+    * top-down. Returns (w, h, channels, luma). Untrusted geometry: the
+    * same Long-arithmetic and allocation caps as the other byte walks;
+    * corrupt bytes → None (fold tier), never a throw. */
+  private[graft] def decodeBmpLuma(b: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    try {
+      if (b == null || b.length < 26 || b(0) != 'B' || b(1) != 'M') return None
+      val dataOff = u32le(b, 10)
+      val dibSize = u32le(b, 14)
+      var w = 0; var hRaw = 0; var bpp = 0; var comp = 0
+      var palOff = 0; var palStride = 4; var palCount = 0
+      if (dibSize == 12) { // BITMAPCOREHEADER: u16 dims, BGR palette triples
+        if (b.length < 26) return None
+        w = u16le(b, 18); hRaw = u16le(b, 20)
+        bpp = u16le(b, 24)
+        palOff = 14 + 12; palStride = 3
+        palCount = if (bpp <= 8) 1 << bpp else 0
+      } else if (dibSize >= 40) { // BITMAPINFOHEADER and successors
+        if (b.length < 54) return None
+        w = u32le(b, 18); hRaw = u32le(b, 22)
+        bpp = u16le(b, 28); comp = u32le(b, 30)
+        palCount = if (b.length >= 50) u32le(b, 46) else 0
+        if (palCount == 0 && bpp <= 8) palCount = 1 << bpp
+        palOff = 14 + dibSize
+        // BI_BITFIELDS with a 40-byte header: 3 mask dwords FOLLOW it
+        if (comp == 3 && dibSize == 40) palOff += 12
+      } else return None
+      val topDown = hRaw < 0
+      val h = if (topDown) -hRaw else hRaw
+      if (w <= 0 || h <= 0 || w.toLong * h > (16L << 20)) return None
+      if (!Set(1, 4, 8, 16, 24, 32).contains(bpp)) return None
+      if (comp != 0 && comp != 1 && comp != 2 && comp != 3) return None
+      if ((comp == 1 && bpp != 8) || (comp == 2 && bpp != 4)) return None
+      if (comp == 3 && bpp != 16 && bpp != 32) return None
+      if (dataOff < 0 || dataOff > b.length) return None
+
+      // palette luma lookup for the indexed depths
+      var palLuma: Array[Float] = null
+      if (bpp <= 8) {
+        if (palCount <= 0 || palCount > 256) return None
+        if (palOff.toLong + palStride.toLong * palCount > b.length) return None
+        palLuma = Array.tabulate(palCount) { k =>
+          val p = palOff + k * palStride // BGR(A) order
+          0.299f * (b(p + 2) & 0xff) + 0.587f * (b(p + 1) & 0xff) +
+            0.114f * (b(p) & 0xff)
+        }
+      }
+      // BITFIELDS masks (or the RGB555/BGRx defaults)
+      var mr = 0; var mg = 0; var mb = 0
+      if (bpp == 16 || bpp == 32) {
+        if (comp == 3) {
+          // masks sit at byte 54 either way: appended after a 40-byte
+          // INFOHEADER, or as the leading v4+ header fields
+          val mOff = 14 + 40
+          if (mOff + 12 > b.length) return None
+          mr = u32le(b, mOff); mg = u32le(b, mOff + 4); mb = u32le(b, mOff + 8)
+        } else if (bpp == 16) { mr = 0x7c00; mg = 0x03e0; mb = 0x001f }
+        else { mr = 0xff0000; mg = 0x00ff00; mb = 0x0000ff }
+        if (mr == 0 || mg == 0 || mb == 0) return None
+      }
+      def maskVal(v: Int, mask: Int): Int = {
+        // extract the masked channel and scale it to 8 bits
+        var m = mask; var shift = 0
+        while ((m & 1) == 0) { m >>>= 1; shift += 1 }
+        var bits = 0; var mm = m
+        while (mm != 0) { bits += 1; mm >>>= 1 }
+        val raw = (v >>> shift) & m
+        if (bits >= 8) raw >> (bits - 8) else (raw * 255) / ((1 << bits) - 1)
+      }
+      val luma = new Array[Float](w * h)
+      def rowBase(y: Int): Int = (if (topDown) y else h - 1 - y) * w
+
+      if (comp == 1 || comp == 2) {
+        // BI_RLE8 / BI_RLE4: escapes 00 00 = EOL, 00 01 = end, 00 02 = delta
+        var i = dataOff.toLong
+        var x = 0; var line = 0 // line counts BOTTOM-UP rows as stored
+        while (i + 1 < b.length && line < h) {
+          val n = b(i.toInt) & 0xff; val v = b((i + 1).toInt) & 0xff
+          i += 2
+          if (n > 0) { // run: n pixels of v (RLE4: two alternating nibbles)
+            var k = 0
+            while (k < n && x < w) {
+              val idx =
+                if (comp == 1) v
+                else if ((k & 1) == 0) (v >> 4) & 0xf
+                else v & 0xf
+              if (idx < palLuma.length) {
+                val y = if (topDown) line else h - 1 - line
+                if (y >= 0 && y < h) luma(y * w + x) = palLuma(idx)
+              }
+              x += 1; k += 1
+            }
+          } else v match {
+            case 0 => x = 0; line += 1 // end of line
+            case 1 => line = h // end of bitmap
+            case 2 => // delta: move cursor right/up
+              if (i + 1 >= b.length) { line = h }
+              else {
+                x += b(i.toInt) & 0xff; line += b((i + 1).toInt) & 0xff; i += 2
+              }
+            case cnt => // absolute mode: cnt literal pixels, word-aligned
+              val bytes = if (comp == 1) cnt else (cnt + 1) / 2
+              val padded = (bytes + 1) & ~1
+              var k = 0
+              while (k < cnt && x < w && i + (if (comp == 1) k else k / 2) < b.length) {
+                val byteV = b((i + (if (comp == 1) k else k / 2)).toInt) & 0xff
+                val idx =
+                  if (comp == 1) byteV
+                  else if ((k & 1) == 0) (byteV >> 4) & 0xf
+                  else byteV & 0xf
+                if (idx < palLuma.length) {
+                  val y = if (topDown) line else h - 1 - line
+                  if (y >= 0 && y < h) luma(y * w + x) = palLuma(idx)
+                }
+                x += 1; k += 1
+              }
+              i += padded
+          }
+        }
+      } else {
+        // uncompressed (or BITFIELDS): 4-byte-aligned rows
+        val rowBytes = ((w.toLong * bpp + 31) / 32 * 4)
+        var y = 0
+        while (y < h) {
+          val base = dataOff.toLong + y * rowBytes
+          if (base + rowBytes > b.length) {
+            // truncated pixel data: accept the decoded prefix only if at
+            // least one full row landed, else reject to the fold tier
+            if (y == 0) return None
+            y = h
+          } else {
+            val out = rowBase(y)
+            var x = 0
+            while (x < w) {
+              luma(out + x) = bpp match {
+                case 1 =>
+                  val bit = (b((base + (x >> 3)).toInt) >> (7 - (x & 7))) & 1
+                  palLuma(math.min(bit, palLuma.length - 1))
+                case 4 =>
+                  val nib = (b((base + (x >> 1)).toInt) >> (if ((x & 1) == 0) 4 else 0)) & 0xf
+                  palLuma(math.min(nib, palLuma.length - 1))
+                case 8 =>
+                  palLuma(math.min(b((base + x).toInt) & 0xff, palLuma.length - 1))
+                case 16 =>
+                  val v = u16le(b, (base + x * 2).toInt)
+                  0.299f * maskVal(v, mr) + 0.587f * maskVal(v, mg) +
+                    0.114f * maskVal(v, mb)
+                case 24 =>
+                  val p = (base + x * 3).toInt // BGR
+                  0.299f * (b(p + 2) & 0xff) + 0.587f * (b(p + 1) & 0xff) +
+                    0.114f * (b(p) & 0xff)
+                case _ =>
+                  val v = u32le(b, (base + x * 4).toInt)
+                  0.299f * maskVal(v, mr) + 0.587f * maskVal(v, mg) +
+                    0.114f * maskVal(v, mb)
+              }
+              x += 1
+            }
+            y += 1
+          }
+        }
+      }
+      val channels = if (bpp == 32) 4 else 3
+      Some((w, h, channels, luma))
+    } catch { case _: Exception => None }
+  }
+
   /** 4x4 grid mean-pool of a luminance image → the 16-dim feature,
     * normalized to [-0.5, 0.5] (0 = black, 1 = white before the shift).
     * Cell boundaries partition rows/cols evenly (ceil-split), so every
@@ -1841,6 +2023,8 @@ object MediaJob {
     *     ([[decodeGif]]: LZW + palette + interlace + GCE compositing);
     *     still = grid of the frame, animated = mean of per-frame grids
     *     with dim3 carrying the frame count;
+    *  3a. BMP (DIB: 1/4/8/16/24/32 bpp, BI_RGB/RLE8/RLE4/BITFIELDS) →
+    *     REAL pixel decode ([[decodeBmpLuma]]), same grid feature;
     *  3b. MJPEG-in-AVI video → REAL frame decode ([[decodeAviMjpeg]]):
     *     per-frame JPEG pixels, feature = mean of per-frame grids;
     *  4. WAV (PCM 8/16/24/32, float32, G.711 A-law/µ-law, MS-ADPCM,
@@ -1886,6 +2070,10 @@ object MediaJob {
         }
         return (w, h, n, mean)
       case _ => ()
+    }
+    decodeBmpLuma(b) match {
+      case Some((w, h, ch, luma)) => return (w, h, ch, gridPool16(w, h, luma))
+      case None => ()
     }
     decodeAviMjpeg(b) match {
       case Some((w, h, n, frames)) if frames.nonEmpty =>
@@ -2027,7 +2215,8 @@ object MediaJob {
       .filter(_._3 == "image")
       .map { case (ref, docId, _, bytes) =>
         val b = if (bytes == null) Array.empty[Byte] else bytes
-        decodePngLuma(b).orElse(decodeJpegLuma(b)).orElse(decodeGifLuma(b)) match {
+        decodePngLuma(b).orElse(decodeJpegLuma(b)).orElse(decodeGifLuma(b))
+          .orElse(decodeBmpLuma(b)) match {
           case Some((w, h, _, luma)) =>
             val (ow, oh) = fitWithin(w, h, maxW, maxH)
             val rs = bilinearResize(w, h, luma, ow, oh)

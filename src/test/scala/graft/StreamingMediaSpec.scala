@@ -1653,6 +1653,178 @@ class StreamingMediaSpec extends AnyFunSuite {
     assert(MediaJob.decodeGif(oob).isEmpty, "only-frame out of bounds -> nothing drawable")
   }
 
+  // ---------------------------------------------------------------------
+  // Independent BMP assembler: hand-built file + INFOHEADER (or CORE
+  // header), palette quads, optional BITFIELDS masks, and its own RLE8/
+  // RLE4 run encoder — a separate derivation of the public DIB format.
+  private def bmpLe32(v: Int) =
+    Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+  private def encodeBmp(w: Int, h: Int, bpp: Int, pixelData: Array[Byte],
+                        palette: Array[Byte] = null, comp: Int = 0,
+                        masks: Array[Int] = null,
+                        topDown: Boolean = false): Array[Byte] = {
+    val palBytes = if (palette == null) Array.empty[Byte] else palette // BGRA quads
+    val maskBytes =
+      if (masks == null) Array.empty[Byte] else masks.flatMap(bmpLe32)
+    val dataOff = 14 + 40 + maskBytes.length + palBytes.length
+    "BM".getBytes("US-ASCII") ++ bmpLe32(dataOff + pixelData.length) ++
+      bmpLe32(0) ++ bmpLe32(dataOff) ++
+      bmpLe32(40) ++ bmpLe32(w) ++ bmpLe32(if (topDown) -h else h) ++
+      Array[Byte](1, 0, bpp.toByte, 0) ++ bmpLe32(comp) ++
+      bmpLe32(pixelData.length) ++ bmpLe32(2835) ++ bmpLe32(2835) ++
+      bmpLe32(if (palette == null) 0 else palette.length / 4) ++ bmpLe32(0) ++
+      maskBytes ++ palBytes ++ pixelData
+  }
+
+  private def bmpRgbLuma(r: Int, g: Int, bl: Int): Float =
+    0.299f * r + 0.587f * g + 0.114f * bl
+
+  test("BMP decode: 24-bit BGR rows, bottom-up storage, 4-byte padding") {
+    // 5x3: width 5 * 3 bytes = 15 -> padded to 16 per row
+    val w = 5; val h = 3
+    def px(x: Int, y: Int) = (x * 40 + 10, y * 70 + 5, (x + y) * 30) // (r,g,b)
+    val rows = (h - 1 to 0 by -1).flatMap { y => // bottom-up file order
+      (0 until w).flatMap { x =>
+        val (r, g, bl) = px(x, y); Seq(bl.toByte, g.toByte, r.toByte)
+      } ++ Seq(0.toByte) // pad 15 -> 16
+    }.toArray
+    val bmp = encodeBmp(w, h, 24, rows)
+    val (dw, dh, ch, luma) = MediaJob.decodeBmpLuma(bmp).get
+    assert((dw, dh, ch) == (w, h, 3))
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, bl) = px(x, y)
+      assert(math.abs(luma(y * w + x) - bmpRgbLuma(r, g, bl)) < 1e-3f,
+        s"pixel ($x,$y)")
+    }
+    // top-down storage (negative height) must land identically
+    val rowsTd = (0 until h).flatMap { y =>
+      (0 until w).flatMap { x =>
+        val (r, g, bl) = px(x, y); Seq(bl.toByte, g.toByte, r.toByte)
+      } ++ Seq(0.toByte)
+    }.toArray
+    val (_, _, _, lumaTd) =
+      MediaJob.decodeBmpLuma(encodeBmp(w, h, 24, rowsTd, topDown = true)).get
+    assert(luma.sameElements(lumaTd), "top-down == bottom-up pixels")
+  }
+
+  test("BMP decode: palette depths 1/4/8 with row padding") {
+    // BGRA palette quads; luma resolves through the palette
+    val pal8 = Array.tabulate[Byte](256 * 4)(i =>
+      (if (i % 4 == 3) 0 else i / 4).toByte) // gray ramp
+    val w = 5; val h = 2
+    val idx = Array.tabulate(w * h)(k => (k * 37) % 256)
+    val rows8 = (h - 1 to 0 by -1).flatMap { y =>
+      (0 until w).map(x => idx(y * w + x).toByte) ++ Seq.fill(3)(0.toByte)
+    }.toArray // 5 -> 8 bytes
+    val (_, _, _, l8) = MediaJob.decodeBmpLuma(encodeBmp(w, h, 8, rows8, pal8)).get
+    idx.zipWithIndex.foreach { case (v, k) =>
+      assert(math.abs(l8(k) - bmpRgbLuma(v, v, v)) < 1e-3f, s"8bpp pixel $k")
+    }
+    // 4bpp: 2 colors used, width 5 -> 3 data bytes -> padded to 4
+    val pal4 = Array[Byte](0, 0, 0, 0, /*idx1=white*/ -1, -1, -1, 0) ++
+      Array.fill[Byte](14 * 4)(0)
+    val nib = Array(1, 0, 1, 0, 1) // row pattern
+    val row4 = Array[Byte](((nib(0) << 4) | nib(1)).toByte,
+      ((nib(2) << 4) | nib(3)).toByte, (nib(4) << 4).toByte, 0)
+    val (_, _, _, l4) = MediaJob.decodeBmpLuma(encodeBmp(5, 1, 4, row4, pal4)).get
+    for (x <- 0 until 5)
+      assert(math.abs(l4(x) - (if (nib(x) == 1) 255.0f else 0.0f)) < 1e-3f)
+    // 1bpp: MSB-first bits, 10 px wide -> 2 data bytes -> padded to 4
+    val pal1 = Array[Byte](0, 0, 0, 0, -1, -1, -1, 0)
+    val row1 = Array[Byte](0xaa.toByte, 0x80.toByte, 0, 0) // 1010101010
+    val (_, _, _, l1) = MediaJob.decodeBmpLuma(encodeBmp(10, 1, 1, row1, pal1)).get
+    for (x <- 0 until 10)
+      assert(math.abs(l1(x) - (if (x % 2 == 0) 255.0f else 0.0f)) < 1e-3f,
+        s"1bpp pixel $x")
+  }
+
+  test("BMP decode: 16-bit RGB555 default, 565 BITFIELDS masks, 32-bit BGRx") {
+    def le16b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    // RGB555: r=31 g=0 b=0 -> red; scale 5 bits -> 255
+    val p555 = le16b(31 << 10) ++ le16b(31 << 5) // red px, green px
+    val (_, _, _, l555) = MediaJob.decodeBmpLuma(encodeBmp(2, 1, 16, p555)).get
+    assert(math.abs(l555(0) - bmpRgbLuma(255, 0, 0)) < 1e-3f)
+    assert(math.abs(l555(1) - bmpRgbLuma(0, 255, 0)) < 1e-3f)
+    // 565 via BITFIELDS: g has 6 bits
+    val p565 = le16b(63 << 5) ++ le16b(31) // green px, blue px
+    val bmp565 = encodeBmp(2, 1, 16, p565, comp = 3,
+      masks = Array(0xf800, 0x07e0, 0x001f))
+    val (_, _, _, l565) = MediaJob.decodeBmpLuma(bmp565).get
+    assert(math.abs(l565(0) - bmpRgbLuma(0, 255, 0)) < 1e-3f)
+    assert(math.abs(l565(1) - bmpRgbLuma(0, 0, 255)) < 1e-3f)
+    // 32-bit BGRx
+    val p32 = Array[Byte](10, 20, 30, 0, 40, 50, 60, 0) // (b,g,r,x)*2
+    val (_, _, ch32, l32) = MediaJob.decodeBmpLuma(encodeBmp(2, 1, 32, p32)).get
+    assert(ch32 == 4)
+    assert(math.abs(l32(0) - bmpRgbLuma(30, 20, 10)) < 1e-3f)
+    assert(math.abs(l32(1) - bmpRgbLuma(60, 50, 40)) < 1e-3f)
+  }
+
+  test("BMP decode: RLE8 and RLE4 runs, absolute mode, EOL/EOB/delta escapes") {
+    val pal = Array.tabulate[Byte](256 * 4)(i =>
+      (if (i % 4 == 3) 0 else i / 4).toByte) // gray ramp
+    // 6x2 RLE8 (bottom-up lines): line0(file) = bottom row
+    // bottom row: run 3x200, absolute 3 literals [9,77,130] (word-padded
+    // — absolute mode needs count >= 3; 00 02 IS the delta escape), EOL
+    // top row: run 3x50, delta skip 2, run 1x125, EOB
+    val rle8 = Array[Byte](
+      3, 200.toByte, 0, 3, 9, 77, 130.toByte, 0, 0, 0, // bottom: run, abs 3+pad, EOL
+      3, 50, 0, 2, 2, 0, 1, 125.toByte, 0, 1) // top: run, delta(+2,0), run, EOB
+    val bmp8 = encodeBmp(6, 2, 8, rle8, pal, comp = 1)
+    val (_, _, _, lr) = MediaJob.decodeBmpLuma(bmp8).get
+    val expBottom = Array(200, 200, 200, 9, 77, 130)
+    val expTop = Array(50, 50, 50, 0, 0, 125) // delta leaves zeros (undrawn)
+    for (x <- 0 until 6) {
+      assert(math.abs(lr(1 * 6 + x) - bmpRgbLuma(expBottom(x), expBottom(x), expBottom(x))) < 1e-3f,
+        s"RLE8 bottom px $x")
+      val e = expTop(x)
+      val want = if (e == 0) 0.0f else bmpRgbLuma(e, e, e)
+      assert(math.abs(lr(0 * 6 + x) - want) < 1e-3f, s"RLE8 top px $x")
+    }
+    // RLE4: run of 5 alternating nibbles 0xC3 -> C,3,C,3,C then EOB
+    val rle4 = Array[Byte](5, 0xc3.toByte, 0, 1)
+    val pal16 = Array.tabulate[Byte](16 * 4)(i =>
+      (if (i % 4 == 3) 0 else (i / 4) * 17).toByte)
+    val (_, _, _, l4) = MediaJob.decodeBmpLuma(encodeBmp(5, 1, 4, rle4, pal16, comp = 2)).get
+    val expN = Array(0xc, 3, 0xc, 3, 0xc)
+    for (x <- 0 until 5) {
+      val g = expN(x) * 17
+      assert(math.abs(l4(x) - bmpRgbLuma(g, g, g)) < 1e-3f, s"RLE4 px $x")
+    }
+  }
+
+  test("BMP decode: COREHEADER, probe fallback, truncation and crafted-dims safety") {
+    // BITMAPCOREHEADER: 12-byte DIB, u16 dims, BGR palette TRIPLES
+    val core = "BM".getBytes ++ bmpLe32(0) ++ bmpLe32(0) ++ bmpLe32(14 + 12 + 6) ++
+      bmpLe32(12) ++ Array[Byte](2, 0, 1, 0, 1, 0, 24, 0) ++ // 2x1, 1 plane, 24bpp
+      Array[Byte](0, 0, 0, 0, 0, 0) ++ // (unused palette slot filler)
+      Array[Byte](100, 50, 25, 75, 125, 0xaf.toByte) // BGR BGR (8 bytes -> pad)
+    // note: dataOff points past the 6 filler bytes; row = 6 bytes pads to 8
+    val dec = MediaJob.decodeBmpLuma(core ++ Array[Byte](0, 0))
+    assert(dec.isDefined, "COREHEADER must parse")
+    val (cw, chh, _, cl) = dec.get
+    assert((cw, chh) == (2, 1))
+    assert(math.abs(cl(0) - bmpRgbLuma(25, 50, 100)) < 1e-3f)
+    assert(math.abs(cl(1) - bmpRgbLuma(0xaf, 125, 75)) < 1e-3f)
+
+    // probeHeader fallback on a truncated INFOHEADER BMP (no pixel rows)
+    val full = encodeBmp(7, 4, 24, Array.fill[Byte](4 * 24)(3))
+    val headerOnly = full.take(54)
+    assert(MediaJob.decodeBmpLuma(headerOnly).isEmpty)
+    assert(MediaJob.probeHeader("image", headerOnly) == Some((7, 4, 3)))
+    // decodeStub rides the real decode for a valid BMP
+    val (sw, sh, sch, feat) = MediaJob.decodeStub("image", full)
+    assert((sw, sh, sch) == (7, 4, 3) && feat.length == 16)
+    // crafted: huge dims bounce off the allocation cap; truncations never throw
+    val huge = full.clone()
+    System.arraycopy(bmpLe32(1 << 20), 0, huge, 18, 4)
+    System.arraycopy(bmpLe32(1 << 20), 0, huge, 22, 4)
+    assert(MediaJob.decodeBmpLuma(huge).isEmpty)
+    for (cut <- Seq(3, 15, 29, 53, 60, full.length - 5))
+      MediaJob.decodeBmpLuma(full.take(cut)) // must not throw
+  }
+
   test("mutation fuzz: corrupted valid containers never throw and always yield a 16-dim finite feature") {
     // The highest-yield fuzz seeds are VALID files: random byte flips,
     // truncations, length-field splices and garbage tails reach the deep
@@ -1711,9 +1883,14 @@ class StreamingMediaSpec extends AnyFunSuite {
     val gif = encodeGif(8, 8, gifCt, 0,
       Seq(GifFrame(0, 0, 8, 8, gifIdx),
         GifFrame(2, 2, 4, 4, Array.tabulate(16)(_ % 16), transparent = 3)))
+    // an RLE8 BMP reaches the escape-code walk and palette branches
+    val bmpPal = Array.tabulate[Byte](256 * 4)(i =>
+      (if (i % 4 == 3) 0 else i / 4).toByte)
+    val bmp = encodeBmp(6, 2, 8, Array[Byte](3, 200.toByte, 0, 3, 9, 77,
+      130.toByte, 0, 0, 0, 6, 50, 0, 1), bmpPal, comp = 1)
     val seeds = Seq("image" -> png, "image" -> pngI16, "image" -> jpeg,
-      "image" -> jpegProg, "image" -> gif, "video" -> avi, "video" -> mp4,
-      "video" -> mkv, "audio" -> wav, "audio" -> adpcm)
+      "image" -> jpegProg, "image" -> gif, "image" -> bmp, "video" -> avi,
+      "video" -> mp4, "video" -> mkv, "audio" -> wav, "audio" -> adpcm)
     def mutate(b: Array[Byte]): Array[Byte] = rng.nextInt(4) match {
       case 0 if b.nonEmpty => // flip 1-8 random bytes
         val m = b.clone()
