@@ -152,6 +152,81 @@ object MediaJob {
         case s @ Some(_) => return s
         case None => ()
       }
+    // TIFF: II*\0 / MM\0* IFD. Header-only fallback for TIFFs the pixel
+    // decoder rejects (tiled layout, exotic compression, corrupt strips).
+    if (b.length >= 8 &&
+        ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+          (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))) {
+      probeTiff(b) match {
+        case s @ Some(_) => return s
+        case None => ()
+      }
+    }
+    // WebP: RIFF....WEBP with a VP8 (lossy key frame), VP8L (lossless) or
+    // VP8X (extended canvas) leading chunk — geometry parses for real, the
+    // VP8 pixel payload stays on the fold tier.
+    if (b.length >= 30 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P') {
+      val tag = new String(b, 12, 4, "US-ASCII")
+      val p = 20
+      tag match {
+        case "VP8 " if b.length >= p + 10 =>
+          // key frame: 3-byte frame tag, then 9D 01 2A, then 14-bit dims
+          if ((b(p + 3) & 0xff) == 0x9d && (b(p + 4) & 0xff) == 0x01 &&
+              (b(p + 5) & 0xff) == 0x2a) {
+            val w = u16le(b, p + 6) & 0x3fff
+            val h = u16le(b, p + 8) & 0x3fff
+            if (w > 0 && h > 0) return Some((w, h, 3))
+          }
+        case "VP8L" if b.length >= p + 5 =>
+          // signature 0x2F, then 14-bit w-1 / h-1 bit-packed LSB-first
+          if ((b(p) & 0xff) == 0x2f) {
+            val bits = (b(p + 1) & 0xff) | ((b(p + 2) & 0xff) << 8) |
+              ((b(p + 3) & 0xff) << 16) | ((b(p + 4) & 0xff) << 24)
+            val w = (bits & 0x3fff) + 1
+            val h = ((bits >> 14) & 0x3fff) + 1
+            return Some((w, h, 3))
+          }
+        case "VP8X" if b.length >= p + 10 =>
+          // canvas size: 24-bit w-1 at byte 24, 24-bit h-1 at byte 27
+          val w = ((b(p + 4) & 0xff) | ((b(p + 5) & 0xff) << 8) |
+            ((b(p + 6) & 0xff) << 16)) + 1
+          val h = ((b(p + 7) & 0xff) | ((b(p + 8) & 0xff) << 8) |
+            ((b(p + 9) & 0xff) << 16)) + 1
+          if (w > 0 && h > 0) return Some((w, h, 3))
+        case _ => ()
+      }
+      return None
+    }
+    // FLAC: "fLaC" + STREAMINFO. Header-only fallback for streams whose
+    // frame payload is corrupt (a decodable FLAC rides decodeFlacRms).
+    if (b.length >= 42 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+        b(3) == 'C' && (b(4) & 0x7f) == 0) {
+      val p = 8
+      val rate = ((b(p + 10) & 0xff) << 12) | ((b(p + 11) & 0xff) << 4) |
+        ((b(p + 12) & 0xff) >> 4)
+      val ch = ((b(p + 12) >> 1) & 7) + 1
+      val total = (((b(p + 13) & 0xfL) << 32) | ((b(p + 14) & 0xffL) << 24) |
+        ((b(p + 15) & 0xffL) << 16) | ((b(p + 16) & 0xffL) << 8) |
+        (b(p + 17) & 0xffL)) min Int.MaxValue.toLong
+      return if (rate > 0) Some((rate, total.toInt, ch)) else None
+    }
+    // MP3: sync-worded MPEG audio frames (optional leading ID3v2 tag);
+    // the frame-header walk accumulates the total sample count.
+    if (b.length >= 4 &&
+        (((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0) ||
+          (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')))
+      probeMp3(b) match {
+        case s @ Some(_) => return s
+        case None => ()
+      }
+    // Ogg: RFC 3533 pages; Vorbis/Opus id header + last-page granule.
+    if (b.length >= 4 && b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')
+      probeOgg(b) match {
+        case s @ Some(_) => return s
+        case None => ()
+      }
     // Matroska / WebM: EBML magic 1A 45 DF A3 leads; Segment → Tracks
     // carries the video TrackEntry geometry, Clusters carry the frames.
     // Header-only — the codec payload (VP9/H.264 …) stays on the
@@ -1495,6 +1570,750 @@ object MediaJob {
   private[graft] def decodeGifLuma(b: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
     decodeGif(b, maxDecode = 1).map { case (w, h, _, _, luma) => (w, h, 3, luma) }
 
+  /** TIFF LZW decompression (TIFF 6.0 §13): unlike GIF's, codes pack
+    * MSB-first, start at 9 bits from a 256-symbol alphabet (clear=256,
+    * EOI=257, first free 258) and use the spec's EARLY code-width change
+    * (width grows when the next free code is 2^width - 1). A truncated
+    * stream returns the bytes decoded so far. */
+  private def tiffLzw(data: Array[Byte], maxOut: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var dictSize = 258
+    var codeSize = 9
+    var bitPos = 0L
+    val bitEnd = data.length.toLong * 8
+    def read(): Int = {
+      if (bitPos + codeSize > bitEnd) return -1
+      var v = 0; var k = 0
+      while (k < codeSize) {
+        val p = bitPos + k
+        v = (v << 1) | ((data((p >> 3).toInt) >> (7 - (p & 7).toInt)) & 1)
+        k += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    var prev = -1
+    var done = false
+    while (!done && out.size < maxOut) {
+      val code = read()
+      if (code < 0 || code == 257) done = true
+      else if (code == 256) { dictSize = 258; codeSize = 9; prev = -1 }
+      else if (prev == -1) {
+        if (code >= 256) return out.toByteArray
+        out.write(code); prev = code
+      } else {
+        var top = 0
+        var emitFirst = 0
+        if (code < dictSize && code != 256 && code != 257) {
+          var c = code
+          while (c >= 258) { stack(top) = suffix(c); top += 1; c = prefix(c) }
+          stack(top) = c.toByte; top += 1
+          emitFirst = c
+        } else if (code == dictSize) {
+          var c = prev
+          var f = c
+          while (f >= 258) f = prefix(f)
+          stack(top) = f.toByte; top += 1
+          while (c >= 258) { stack(top) = suffix(c); top += 1; c = prefix(c) }
+          stack(top) = c.toByte; top += 1
+          emitFirst = f
+        } else return out.toByteArray
+        while (top > 0 && out.size < maxOut) {
+          top -= 1; out.write(stack(top) & 0xff)
+        }
+        if (dictSize < 4096) {
+          prefix(dictSize) = prev; suffix(dictSize) = emitFirst.toByte
+          dictSize += 1
+          // EARLY change: grow when the NEXT code to assign is 2^w - 1
+          if (dictSize == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    out.toByteArray
+  }
+
+  /** TIFF PackBits decompression (TIFF 6.0 §9 — the classic Apple RLE):
+    * n in [0,127] copies n+1 literals, n in [-127,-1] repeats the next
+    * byte 1-n times, -128 is a no-op. */
+  private def tiffPackBits(data: Array[Byte], maxOut: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length && out.size < maxOut) {
+      val n = data(i); i += 1
+      if (n >= 0) {
+        val cnt = math.min(n + 1, data.length - i)
+        out.write(data, i, math.max(0, cnt)); i += n + 1
+      } else if (n != -128 && i < data.length) {
+        val v = data(i); i += 1
+        var k = 0
+        while (k < 1 - n && out.size < maxOut) { out.write(v); k += 1 }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** REAL TIFF decode — TIFF 6.0 (public spec): both byte orders, IFD
+    * walk, strip-organized baseline images. Supported lattice:
+    * compressions none/LZW ([[tiffLzw]], with the horizontal-differencing
+    * predictor)/PackBits; photometrics WhiteIsZero, BlackIsZero, RGB and
+    * Palette (16-bit ColorMap scaled /257); bits-per-sample 1/4/8 gray,
+    * 16 gray (high byte), 8x3 RGB chunky. Tiled layouts and planar
+    * configuration 2 reject to the fold tier. Untrusted offsets: every
+    * cursor in Long, 16M-pixel allocation cap, corrupt input → None. */
+  private[graft] def decodeTiffLuma(b: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    try {
+      if (b == null || b.length < 8) return None
+      val le =
+        if (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) true
+        else if (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42) false
+        else return None
+      def u16(i: Long): Int =
+        if (le) u16le(b, i.toInt) else u16be(b, i.toInt)
+      def u32(i: Long): Long =
+        (if (le) u32le(b, i.toInt) else u32be(b, i.toInt)).toLong & 0xffffffffL
+      val ifdOff = u32(4)
+      if (ifdOff + 2 > b.length) return None
+      val nEntries = u16(ifdOff)
+      if (nEntries <= 0 || ifdOff + 2 + 12L * nEntries > b.length) return None
+      var w = 0; var h = 0; var comp = 1; var photo = 1
+      var bitsPS = 8; var spp = 1; var rowsPerStrip = Int.MaxValue
+      var predictor = 1; var planar = 1
+      var stripOffs: Array[Long] = null
+      var stripLens: Array[Long] = null
+      var cmapOff = -1L; var cmapCount = 0
+      var e = 0
+      while (e < nEntries) {
+        val at = ifdOff + 2 + 12L * e
+        val tag = u16(at)
+        val typ = u16(at + 2)
+        val cnt = u32(at + 4)
+        val tsize = typ match {
+          case 1 | 2 | 6 | 7 => 1L; case 3 => 2L; case 4 | 9 => 4L; case _ => 8L
+        }
+        val inline = tsize * cnt <= 4
+        def valAt(k: Long): Long = {
+          val base = if (inline) at + 8 else u32(at + 8)
+          val p = base + k * tsize
+          if (p + tsize > b.length) throw new java.io.EOFException
+          typ match {
+            case 3 => u16(p).toLong
+            case 4 | 9 => u32(p)
+            case 1 | 2 | 6 | 7 => (b(p.toInt) & 0xff).toLong
+            case _ => throw new java.io.EOFException
+          }
+        }
+        tag match {
+          case 256 => w = valAt(0).toInt
+          case 257 => h = valAt(0).toInt
+          case 258 => bitsPS = valAt(0).toInt // uniform across samples assumed
+          case 259 => comp = valAt(0).toInt
+          case 262 => photo = valAt(0).toInt
+          case 273 => stripOffs = Array.tabulate(cnt.toInt)(k => valAt(k))
+          case 277 => spp = valAt(0).toInt
+          case 278 => rowsPerStrip = math.min(valAt(0), Int.MaxValue.toLong).toInt
+          case 279 => stripLens = Array.tabulate(cnt.toInt)(k => valAt(k))
+          case 284 => planar = valAt(0).toInt
+          case 317 => predictor = valAt(0).toInt
+          case 320 =>
+            cmapOff = if (inline) at + 8 else u32(at + 8); cmapCount = cnt.toInt
+          case 322 | 323 | 324 | 325 => return None // tiled layout unsupported
+          case _ => ()
+        }
+        e += 1
+      }
+      if (w <= 0 || h <= 0 || w.toLong * h > (16L << 20)) return None
+      if (stripOffs == null || stripLens == null ||
+          stripOffs.length != stripLens.length) return None
+      if (planar != 1 || spp < 1 || spp > 8) return None
+      if (comp != 1 && comp != 5 && comp != 32773) return None
+      if (photo < 0 || photo > 3) return None
+      if (photo == 2 && (spp < 3 || bitsPS != 8)) return None
+      if (photo == 3 && (bitsPS != 4 && bitsPS != 8)) return None
+      if (photo <= 1 && !Set(1, 4, 8, 16).contains(bitsPS)) return None
+      if (rowsPerStrip <= 0) rowsPerStrip = h
+      // palette: ColorMap is 3 * 2^bitsPS SHORTs (all R, all G, all B)
+      var palLuma: Array[Float] = null
+      if (photo == 3) {
+        val n = 1 << bitsPS
+        if (cmapOff < 0 || cmapCount < 3 * n ||
+            cmapOff + 2L * 3 * n > b.length) return None
+        palLuma = Array.tabulate(n) { k =>
+          val r = u16(cmapOff + 2L * k) / 257
+          val g = u16(cmapOff + 2L * (n + k)) / 257
+          val bl = u16(cmapOff + 2L * (2 * n + k)) / 257
+          0.299f * r + 0.587f * g + 0.114f * bl
+        }
+      }
+      val rowBytes = (w.toLong * spp * bitsPS + 7) / 8
+      if (rowBytes > Int.MaxValue / 2) return None
+      val luma = new Array[Float](w * h)
+      var strip = 0
+      var y0 = 0
+      while (strip < stripOffs.length && y0 < h) {
+        val off = stripOffs(strip)
+        val len = stripLens(strip)
+        if (off < 0 || len < 0 || off + len > b.length) return None
+        val rows = math.min(rowsPerStrip, h - y0)
+        val wantBytes = (rowBytes * rows).toInt
+        val raw = comp match {
+          case 1 =>
+            java.util.Arrays.copyOfRange(b, off.toInt,
+              math.min(b.length.toLong, off + math.min(len, wantBytes)).toInt)
+          case 5 =>
+            tiffLzw(java.util.Arrays.copyOfRange(b, off.toInt, (off + len).toInt), wantBytes)
+          case _ =>
+            tiffPackBits(java.util.Arrays.copyOfRange(b, off.toInt, (off + len).toInt), wantBytes)
+        }
+        // horizontal-differencing predictor (only defined for 8-bit samples)
+        if (predictor == 2 && bitsPS == 8) {
+          var r = 0
+          while (r < rows) {
+            val base = (r * rowBytes).toInt
+            var x = spp
+            while (x < w * spp && base + x < raw.length) {
+              raw(base + x) = (raw(base + x) + raw(base + x - spp)).toByte
+              x += 1
+            }
+            r += 1
+          }
+        }
+        var r = 0
+        while (r < rows && y0 + r < h) {
+          val base = r * rowBytes
+          var x = 0
+          while (x < w) {
+            val v: Float = photo match {
+              case 2 => // RGB chunky
+                val p = (base + x.toLong * spp).toInt
+                if (p + 2 >= raw.length) 0.0f
+                else 0.299f * (raw(p) & 0xff) + 0.587f * (raw(p + 1) & 0xff) +
+                  0.114f * (raw(p + 2) & 0xff)
+              case 3 => // palette
+                val p = base + (x.toLong * bitsPS) / 8
+                if (p >= raw.length) 0.0f
+                else {
+                  val byteV = raw(p.toInt) & 0xff
+                  val idx =
+                    if (bitsPS == 8) byteV
+                    else if ((x & 1) == 0) (byteV >> 4) & 0xf
+                    else byteV & 0xf
+                  palLuma(math.min(idx, palLuma.length - 1))
+                }
+              case _ => // grayscale (0 = WhiteIsZero inverts)
+                val g: Int = bitsPS match {
+                  case 1 =>
+                    val p = base + (x >> 3)
+                    if (p >= raw.length) 0
+                    else (((raw(p.toInt) >> (7 - (x & 7))) & 1) * 255)
+                  case 4 =>
+                    val p = base + (x >> 1)
+                    if (p >= raw.length) 0
+                    else {
+                      val nib = (raw(p.toInt) >> (if ((x & 1) == 0) 4 else 0)) & 0xf
+                      nib * 17
+                    }
+                  case 8 =>
+                    val p = base + x.toLong * spp
+                    if (p >= raw.length) 0 else raw(p.toInt) & 0xff
+                  case _ =>
+                    val p = base + x.toLong * spp * 2
+                    if (p + 1 >= raw.length) 0
+                    else if (le) raw(p.toInt + 1) & 0xff // high byte
+                    else raw(p.toInt) & 0xff
+                }
+                (if (photo == 0) 255 - g else g).toFloat
+            }
+            luma((y0 + r) * w + x) = v
+            x += 1
+          }
+          r += 1
+        }
+        y0 += rows
+        strip += 1
+      }
+      Some((w, h, if (photo == 2) spp else 3, luma))
+    } catch { case _: Exception => None }
+  }
+
+  /** TIFF geometry-only IFD walk — the fallback when [[decodeTiffLuma]]
+    * rejects (tiled layout, exotic compression, corrupt strip data). */
+  private[graft] def probeTiff(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    try {
+      if (b == null || b.length < 8) return None
+      val le =
+        if (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) true
+        else if (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42) false
+        else return None
+      def u16(i: Long): Int = if (le) u16le(b, i.toInt) else u16be(b, i.toInt)
+      def u32(i: Long): Long =
+        (if (le) u32le(b, i.toInt) else u32be(b, i.toInt)).toLong & 0xffffffffL
+      val ifdOff = u32(4)
+      if (ifdOff + 2 > b.length) return None
+      val nEntries = u16(ifdOff)
+      if (nEntries <= 0 || ifdOff + 2 + 12L * nEntries > b.length) return None
+      var w = 0; var h = 0; var spp = 1
+      var e = 0
+      while (e < nEntries) {
+        val at = ifdOff + 2 + 12L * e
+        val tag = u16(at)
+        val typ = u16(at + 2)
+        def inlineVal: Int =
+          (if (typ == 3) u16(at + 8).toLong else u32(at + 8)).toInt
+        tag match {
+          case 256 => w = inlineVal
+          case 257 => h = inlineVal
+          case 277 => spp = inlineVal
+          case _ => ()
+        }
+        e += 1
+      }
+      if (w > 0 && h > 0) Some((w, h, math.max(1, math.min(spp, 8)))) else None
+    } catch { case _: Exception => None }
+  }
+
+  /** MSB-first bit reader over untrusted bytes: every read bounds-checks
+    * against the buffer end and throws (caught by the per-frame decode
+    * loop) instead of wrapping. Unary reads are run-length capped so a
+    * crafted all-zeros region can't spin. */
+  private final class FlacBits(b: Array[Byte], startBit: Long) {
+    var pos: Long = startBit
+    private val end: Long = b.length.toLong * 8
+    def remaining: Long = end - pos
+    def read(n: Int): Int = {
+      if (n == 0) return 0
+      if (n < 0 || n > 32 || pos + n > end) throw new java.io.EOFException
+      var v = 0; var k = 0
+      while (k < n) {
+        val p = pos + k
+        v = (v << 1) | ((b((p >> 3).toInt) >> (7 - (p & 7).toInt)) & 1)
+        k += 1
+      }
+      pos += n
+      v
+    }
+    def readSigned(n: Int): Int = {
+      val v = read(n)
+      if (n == 0 || n == 32) v else (v << (32 - n)) >> (32 - n)
+    }
+    def readUnary(): Int = {
+      var q = 0
+      while (read(1) == 0) {
+        q += 1
+        if (q > (1 << 24)) throw new java.io.EOFException
+      }
+      q
+    }
+    def alignByte(): Unit = { pos = (pos + 7) & ~7L }
+  }
+
+  /** FLAC rice-coded residual per the public RFC 9639 §9.2.7: partition
+    * order, per-partition rice parameter (4- or 5-bit form) with the
+    * all-ones escape to fixed-width raw residuals, unary quotient +
+    * parameter-bit remainder, zig-zag sign folding. Fills
+    * out[order, n). */
+  private def flacResidual(bits: FlacBits, n: Int, order: Int,
+                           out: Array[Int]): Unit = {
+    val method = bits.read(2)
+    if (method > 1) throw new java.io.EOFException
+    val pbits = if (method == 0) 4 else 5
+    val escape = (1 << pbits) - 1
+    val partOrder = bits.read(4)
+    val parts = 1 << partOrder
+    if (parts > n || n % parts != 0) throw new java.io.EOFException
+    var k = order
+    var p = 0
+    while (p < parts) {
+      val cnt = (n >> partOrder) - (if (p == 0) order else 0)
+      if (cnt < 0) throw new java.io.EOFException
+      val param = bits.read(pbits)
+      var j = 0
+      if (param == escape) {
+        val raw = bits.read(5)
+        while (j < cnt) {
+          out(k) = if (raw == 0) 0 else bits.readSigned(raw)
+          k += 1; j += 1
+        }
+      } else {
+        while (j < cnt) {
+          val q = bits.readUnary()
+          val r = if (param == 0) 0 else bits.read(param)
+          val u = (q.toLong << param) | (r.toLong & 0xffffffffL)
+          out(k) = ((u >>> 1) ^ -(u & 1L)).toInt
+          k += 1; j += 1
+        }
+      }
+      p += 1
+    }
+  }
+
+  /** One FLAC subframe (RFC 9639 §9.2.5-9.2.6): CONSTANT, VERBATIM, FIXED
+    * orders 0-4 (the published warm-up + polynomial predictors) and LPC
+    * orders 1-32 (signed quantized coefficients, signed shift), plus the
+    * wasted-bits unary prefix. Prediction sums run in Long. */
+  private def flacSubframe(bits: FlacBits, n: Int, bpsIn: Int): Array[Int] = {
+    if (bits.read(1) != 0) throw new java.io.EOFException // mandatory 0 pad
+    val typ = bits.read(6)
+    var wasted = 0
+    if (bits.read(1) == 1) {
+      wasted = 1
+      while (bits.read(1) == 0) {
+        wasted += 1
+        if (wasted > 32) throw new java.io.EOFException
+      }
+    }
+    val bps = bpsIn - wasted
+    if (bps < 1 || bps > 32) throw new java.io.EOFException
+    val out = new Array[Int](n)
+    if (typ == 0) { // CONSTANT
+      java.util.Arrays.fill(out, bits.readSigned(bps))
+    } else if (typ == 1) { // VERBATIM
+      var k = 0
+      while (k < n) { out(k) = bits.readSigned(bps); k += 1 }
+    } else if (typ >= 8 && typ <= 12) { // FIXED, order = typ - 8
+      val order = typ - 8
+      if (order > n) throw new java.io.EOFException
+      var k = 0
+      while (k < order) { out(k) = bits.readSigned(bps); k += 1 }
+      flacResidual(bits, n, order, out)
+      k = order
+      while (k < n) {
+        val pred: Long = order match {
+          case 0 => 0L
+          case 1 => out(k - 1).toLong
+          case 2 => 2L * out(k - 1) - out(k - 2)
+          case 3 => 3L * out(k - 1) - 3L * out(k - 2) + out(k - 3)
+          case _ => 4L * out(k - 1) - 6L * out(k - 2) + 4L * out(k - 3) - out(k - 4)
+        }
+        out(k) = (out(k) + pred).toInt
+        k += 1
+      }
+    } else if (typ >= 32) { // LPC, order = typ - 31
+      val order = typ - 31
+      if (order > n) throw new java.io.EOFException
+      var k = 0
+      while (k < order) { out(k) = bits.readSigned(bps); k += 1 }
+      val prec = bits.read(4) + 1
+      if (prec == 16) throw new java.io.EOFException // 0b1111 is reserved
+      val shift = bits.readSigned(5)
+      if (shift < 0) throw new java.io.EOFException
+      val coefs = new Array[Int](order)
+      k = 0
+      while (k < order) { coefs(k) = bits.readSigned(prec); k += 1 }
+      flacResidual(bits, n, order, out)
+      k = order
+      while (k < n) {
+        var sum = 0L
+        var j = 0
+        while (j < order) { sum += coefs(j).toLong * out(k - 1 - j); j += 1 }
+        out(k) = (out(k) + (sum >> shift)).toInt
+        k += 1
+      }
+    } else throw new java.io.EOFException // reserved subframe types
+    if (wasted > 0) {
+      var k = 0
+      while (k < n) { out(k) = out(k) << wasted; k += 1 }
+    }
+    out
+  }
+
+  /** REAL FLAC decode — RFC 9639 (the public IETF spec of the xiph
+    * format) implemented from scratch: "fLaC" metadata walk (STREAMINFO
+    * rate/channels/bps/total), then sequential frame decode — sync word,
+    * block-size/rate/channel/sample-size codes, UTF-8-coded frame number,
+    * per-channel subframes ([[flacSubframe]]: CONSTANT/VERBATIM/FIXED/LPC
+    * with rice-partitioned residuals), stereo decorrelation (left-side /
+    * right-side / mid-side with the side channel's +1 bit), wasted-bits
+    * restore. Header CRC-8/frame CRC-16 bytes are walked but not
+    * verified — on untrusted bytes a bad CRC and a truncated tail get the
+    * same treatment: the decoded prefix answers. Returns
+    * (sampleRate, decodedFrames, 16 window RMS energies) in exactly the
+    * WAV tier's shape. Decode is capped at 16M samples. */
+  private[graft] def decodeFlacRms(b: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    try {
+      if (b == null || b.length < 42 ||
+          !(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return None
+      var i = 4L
+      var rate = 0; var chans = 0; var bps = 0
+      var last = false
+      while (!last && i + 4 <= b.length) {
+        val hdr = b(i.toInt) & 0xff
+        last = (hdr & 0x80) != 0
+        val typ = hdr & 0x7f
+        val len = ((b((i + 1).toInt) & 0xff) << 16) |
+          ((b((i + 2).toInt) & 0xff) << 8) | (b((i + 3).toInt) & 0xff)
+        if (typ == 0 && len >= 34 && i + 4 + 34 <= b.length) {
+          val p = (i + 4).toInt
+          rate = ((b(p + 10) & 0xff) << 12) | ((b(p + 11) & 0xff) << 4) |
+            ((b(p + 12) & 0xff) >> 4)
+          chans = ((b(p + 12) >> 1) & 7) + 1
+          bps = (((b(p + 12) & 1) << 4) | ((b(p + 13) & 0xff) >> 4)) + 1
+        }
+        i += 4 + len
+      }
+      if (rate <= 0 || chans <= 0 || chans > 8 || bps < 4 || i > b.length)
+        return None
+      val bits = new FlacBits(b, i * 8)
+      val samples = new scala.collection.mutable.ArrayBuilder.ofDouble
+      var nFrames = 0L
+      val maxSamples = 16L << 20
+      var decoding = true
+      while (decoding && nFrames * chans < maxSamples) {
+        try {
+          bits.alignByte()
+          if (bits.remaining < 40) decoding = false
+          else if (bits.read(14) != 0x3ffe) decoding = false
+          else {
+            bits.read(2) // reserved + blocking strategy
+            val bsCode = bits.read(4)
+            val srCode = bits.read(4)
+            val chAsgn = bits.read(4)
+            val ssCode = bits.read(3)
+            bits.read(1) // reserved
+            // UTF-8-style coded frame/sample number: lead byte names the
+            // continuation count
+            val b0 = bits.read(8)
+            if ((b0 & 0x80) != 0) {
+              var mask = 0x40; var extra = 0
+              while ((b0 & mask) != 0) { extra += 1; mask >>= 1 }
+              if (extra < 1 || extra > 6) throw new java.io.EOFException
+              var e = 0
+              while (e < extra) { bits.read(8); e += 1 }
+            }
+            val blockSize = bsCode match {
+              case 0 => throw new java.io.EOFException // reserved
+              case 1 => 192
+              case 6 => bits.read(8) + 1
+              case 7 => bits.read(16) + 1
+              case c if c <= 5 => 576 << (c - 2)
+              case c => 256 << (c - 8)
+            }
+            srCode match {
+              case 12 => bits.read(8)
+              case 13 | 14 => bits.read(16)
+              case 15 => throw new java.io.EOFException
+              case _ => ()
+            }
+            bits.read(8) // header CRC-8 (walked, not verified)
+            val frameBps = ssCode match {
+              case 0 => bps
+              case 1 => 8
+              case 2 => 12
+              case 4 => 16
+              case 5 => 20
+              case 6 => 24
+              case 7 => 32
+              case _ => throw new java.io.EOFException
+            }
+            if (chAsgn > 10) throw new java.io.EOFException
+            val nCh = if (chAsgn < 8) chAsgn + 1 else 2
+            val chData = new Array[Array[Int]](nCh)
+            var c = 0
+            while (c < nCh) {
+              val side = chAsgn match {
+                case 8 => c == 1 // left/side
+                case 9 => c == 0 // side/right
+                case 10 => c == 1 // mid/side
+                case _ => false
+              }
+              chData(c) = flacSubframe(bits, blockSize,
+                frameBps + (if (side) 1 else 0))
+              c += 1
+            }
+            bits.alignByte()
+            bits.read(16) // frame CRC-16 (walked, not verified)
+            var k = 0
+            chAsgn match {
+              case 8 => // side = L - R  =>  R = L - side
+                while (k < blockSize) {
+                  chData(1)(k) = chData(0)(k) - chData(1)(k); k += 1
+                }
+              case 9 => // side first, then R  =>  L = R + side
+                while (k < blockSize) {
+                  chData(0)(k) = chData(1)(k) + chData(0)(k); k += 1
+                }
+              case 10 => // mid/side with the spec's LSB-restore
+                while (k < blockSize) {
+                  val side = chData(1)(k)
+                  var mid = chData(0)(k) << 1
+                  mid |= (side & 1)
+                  chData(0)(k) = (mid + side) >> 1
+                  chData(1)(k) = (mid - side) >> 1
+                  k += 1
+                }
+              case _ => ()
+            }
+            val scale = 1.0 / (1L << (frameBps - 1)).toDouble
+            k = 0
+            while (k < blockSize) {
+              c = 0
+              while (c < nCh) { samples += chData(c)(k) * scale; c += 1 }
+              k += 1
+            }
+            nFrames += blockSize
+          }
+        } catch {
+          case _: Exception => decoding = false // truncated/corrupt tail
+        }
+      }
+      val all = samples.result()
+      if (nFrames <= 0 || all.isEmpty) return None
+      val perFrame = all.length / nFrames.toInt
+      val feat = new Array[Float](16)
+      var win = 0
+      while (win < 16) {
+        val s0 = (win.toLong * nFrames / 16).toInt * perFrame
+        val s1 = ((win + 1).toLong * nFrames / 16).toInt * perFrame
+        var sum = 0.0; var n = 0L; var s = s0
+        while (s < s1) { sum += all(s) * all(s); n += 1; s += 1 }
+        feat(win) = if (n == 0) -0.5f else (math.sqrt(sum / n) - 0.5).toFloat
+        win += 1
+      }
+      Some((rate, nFrames.toInt, feat))
+    } catch { case _: Exception => None }
+  }
+
+  /** REAL MP3 metadata walk — the MPEG-1/2/2.5 audio frame header per the
+    * public ISO 11172-3 / 13818-3 layout: skips a leading ID3v2 tag
+    * (syncsafe length), then walks sync-worded frames accumulating the
+    * per-frame sample count (Layer I = 384, Layer II = 1152, Layer III =
+    * 1152 for MPEG-1 / 576 for MPEG-2/2.5) and advancing by the computed
+    * frame length. Returns (sampleRate, totalSamples, channels); None when
+    * the bytes don't start a parseable MP3 stream. Free-format frames
+    * (bitrate index 0) and invalid indices end the walk — the already-
+    * counted prefix is the answer for a truncated store. */
+  private[graft] def probeMp3(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    try {
+      if (b == null || b.length < 4) return None
+      var i = 0L
+      // ID3v2: "ID3" vv flags + 4 syncsafe size bytes
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+          ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+        i = 10L + sz
+      }
+      // bitrate tables (kbps): [layer][index], one set per version group
+      val brV1 = Array(
+        Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448), // L1
+        Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),    // L2
+        Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))     // L3
+      val brV2 = Array(
+        Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),    // L1
+        Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),         // L2
+        Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))         // L3
+      val rates = Map(3 -> Array(44100, 48000, 32000), // MPEG-1
+        2 -> Array(22050, 24000, 16000),               // MPEG-2
+        0 -> Array(11025, 12000, 8000))                // MPEG-2.5
+      var sampleRate = 0; var channels = 0
+      var total = 0L; var frames = 0
+      while (i + 4 <= b.length && frames < 1000000) {
+        if ((b(i.toInt) & 0xff) != 0xff || (b((i + 1).toInt) & 0xe0) != 0xe0)
+          return finishMp3(sampleRate, total, channels)
+        val h1 = b((i + 1).toInt) & 0xff
+        val h2 = b((i + 2).toInt) & 0xff
+        val h3 = b((i + 3).toInt) & 0xff
+        val verBits = (h1 >> 3) & 3    // 0=2.5, 1=reserved, 2=MPEG-2, 3=MPEG-1
+        val layerBits = (h1 >> 1) & 3  // 1=III, 2=II, 3=I
+        val brIdx = (h2 >> 4) & 0xf
+        val srIdx = (h2 >> 2) & 3
+        if (verBits == 1 || layerBits == 0 || brIdx == 0 || brIdx == 15 ||
+            srIdx == 3) return finishMp3(sampleRate, total, channels)
+        val layer = 3 - layerBits // 0=I, 1=II, 2=III
+        val sr = rates(verBits)(srIdx)
+        val kbps = (if (verBits == 3) brV1 else brV2)(layer)(brIdx)
+        val padding = (h2 >> 1) & 1
+        val mono = ((h3 >> 6) & 3) == 3
+        val samples =
+          if (layer == 0) 384
+          else if (layer == 1) 1152
+          else if (verBits == 3) 1152 else 576
+        val frameLen =
+          if (layer == 0) (12 * kbps * 1000 / sr + padding) * 4
+          else samples / 8 * kbps * 1000 / sr + padding
+        if (frameLen <= 4) return finishMp3(sampleRate, total, channels)
+        if (sampleRate == 0) { sampleRate = sr; channels = if (mono) 1 else 2 }
+        // a PARTIAL final frame (truncated store) still counts: its header
+        // declares the samples even when the payload tail is cut off
+        total += samples; frames += 1
+        i += frameLen
+      }
+      finishMp3(sampleRate, total, channels)
+    } catch { case _: Exception => None }
+  }
+
+  private def finishMp3(rate: Int, total: Long, ch: Int): Option[(Int, Int, Int)] =
+    if (rate <= 0 || total <= 0) None
+    else Some((rate, math.min(total, Int.MaxValue.toLong).toInt, ch))
+
+  /** REAL Ogg metadata walk — RFC 3533 page framing plus the public Vorbis
+    * and Opus identification headers: the first "OggS" page's first packet
+    * names the codec (\x01vorbis → channels@11, rate u32le@12;
+    * OpusHead → channels@9, pre-skip u16le@10, granule clock 48 kHz), and
+    * the LAST page's granule position is the stream's total PCM sample
+    * count (Opus: minus pre-skip). Returns (sampleRate, totalSamples,
+    * channels); a truncated store reports the last visible page's
+    * granule. */
+  private[graft] def probeOgg(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    try {
+      if (b == null || b.length < 58) return None
+      if (!(b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')) return None
+      var rate = 0; var channels = 0; var preSkip = 0
+      var lastGranule = 0L
+      var sawId = false
+      var i = 0L
+      while (i + 27 <= b.length) {
+        if (!(b(i.toInt) == 'O' && b((i + 1).toInt) == 'g' &&
+              b((i + 2).toInt) == 'g' && b((i + 3).toInt) == 'S' &&
+              b((i + 4).toInt) == 0)) return finishOgg(rate, lastGranule, preSkip, channels)
+        var gran = 0L
+        var k = 0
+        while (k < 8) { // u64le granule position
+          gran |= (b((i + 6 + k).toInt).toLong & 0xff) << (8 * k)
+          k += 1
+        }
+        val nsegs = b((i + 26).toInt) & 0xff
+        if (i + 27 + nsegs > b.length) return finishOgg(rate, lastGranule, preSkip, channels)
+        var bodyLen = 0
+        k = 0
+        while (k < nsegs) { bodyLen += b((i + 27 + k).toInt) & 0xff; k += 1 }
+        val body = i + 27 + nsegs
+        // -1 granule = page contains no packet end; don't regress the count
+        if (gran >= 0) lastGranule = math.max(lastGranule, gran)
+        if (!sawId && body + 19 <= b.length) {
+          val p = body.toInt
+          if ((b(p) & 0xff) == 1 && b(p + 1) == 'v' && b(p + 2) == 'o' &&
+              b(p + 3) == 'r' && b(p + 4) == 'b' && b(p + 5) == 'i' &&
+              b(p + 6) == 's' && body + 16 <= b.length) {
+            channels = b(p + 11) & 0xff
+            rate = u32le(b, p + 12)
+            sawId = true
+          } else if (b(p) == 'O' && b(p + 1) == 'p' && b(p + 2) == 'u' &&
+              b(p + 3) == 's' && b(p + 4) == 'H' && b(p + 5) == 'e' &&
+              b(p + 6) == 'a' && b(p + 7) == 'd') {
+            channels = b(p + 9) & 0xff
+            preSkip = u16le(b, p + 10)
+            rate = 48000 // Opus granules tick at 48 kHz regardless of input
+            sawId = true
+          }
+        }
+        if (body + bodyLen > b.length) return finishOgg(rate, lastGranule, preSkip, channels)
+        i = body + bodyLen
+      }
+      finishOgg(rate, lastGranule, preSkip, channels)
+    } catch { case _: Exception => None }
+  }
+
+  private def finishOgg(rate: Int, granule: Long, preSkip: Int,
+                        ch: Int): Option[(Int, Int, Int)] =
+    if (rate <= 0 || ch <= 0) None
+    else {
+      val total = math.max(0L, granule - preSkip)
+      Some((rate, math.min(total, Int.MaxValue.toLong).toInt, ch))
+    }
+
   /** REAL BMP decode — the Windows DIB formats per the public file-format
     * documentation: BITMAPCOREHEADER (12-byte, u16 dims, BGR triples) and
     * BITMAPINFOHEADER-or-later (s32 dims, negative height = top-down,
@@ -2025,6 +2844,8 @@ object MediaJob {
     *     with dim3 carrying the frame count;
     *  3a. BMP (DIB: 1/4/8/16/24/32 bpp, BI_RGB/RLE8/RLE4/BITFIELDS) →
     *     REAL pixel decode ([[decodeBmpLuma]]), same grid feature;
+    *  3c. TIFF (strips; none/LZW/PackBits; gray 1/4/8/16, RGB, palette)
+    *     → REAL pixel decode ([[decodeTiffLuma]]), same grid feature;
     *  3b. MJPEG-in-AVI video → REAL frame decode ([[decodeAviMjpeg]]):
     *     per-frame JPEG pixels, feature = mean of per-frame grids;
     *  4. WAV (PCM 8/16/24/32, float32, G.711 A-law/µ-law, MS-ADPCM,
@@ -2032,20 +2853,24 @@ object MediaJob {
     *     16 window RMS energies);
     *  5. recognized container but unsupported encoding (non-MJPEG AVI,
     *     MP4/Matroska with a compressed codec payload, compressed-audio
-    *     WAV codecs like MP3-in-WAV) → REAL header dims ([[probeHeader]], incl. the
-    *     [[probeMp4]] moov walk and the [[probeMkv]] EBML walk) + the
+    *     WAV codecs like MP3-in-WAV, raw MP3, Ogg Vorbis/Opus) → REAL
+    *     header metadata ([[probeHeader]], incl. the [[probeMp4]] moov
+    *     walk, the [[probeMkv]] EBML walk, the [[probeMp3]] frame-header
+    *     walk and the [[probeOgg]] page walk) + the
     *     deterministic fold feature;
     *  6. unrecognized bytes → fully faked dims + fold feature.
     *
     * ============================ STUB ================================
     * Only tier 5-6's FEATURE VECTOR is faked (a stable byte fold):
-    * compressed video PIXEL codecs (H.264/VP9 etc.) are out of scope to
-    * write from scratch in this container. PNG pixels (every depth and
+    * compressed video PIXEL codecs (H.264/VP9 etc.) and perceptual-audio
+    * SAMPLE decode (MP3/Vorbis/Opus payloads) are out of scope to write
+    * from scratch in this container. PNG pixels (every depth and
     * interlace mode), baseline AND progressive JPEG pixels, GIF frames
-    * (still + animated), MJPEG-AVI
-    * frames and WAV PCM samples are all decoded for real above, and
-    * MP4/Matroska geometry/frame counts parse for real; swapping in
-    * further codecs extends the dispatch.
+    * (still + animated), BMP pixels, MJPEG-AVI frames, WAV samples
+    * (every realistic codec) and FLAC samples are all decoded for real
+    * above; MP4/Matroska geometry/frame counts and MP3/Ogg sample
+    * rates/durations parse for real; swapping in further codecs extends
+    * the dispatch.
     * ================================================================== */
   def decodeStub(mediaType: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val b = if (bytes == null) Array.empty[Byte] else bytes
@@ -2075,6 +2900,10 @@ object MediaJob {
       case Some((w, h, ch, luma)) => return (w, h, ch, gridPool16(w, h, luma))
       case None => ()
     }
+    decodeTiffLuma(b) match {
+      case Some((w, h, ch, luma)) => return (w, h, ch, gridPool16(w, h, luma))
+      case None => ()
+    }
     decodeAviMjpeg(b) match {
       case Some((w, h, n, frames)) if frames.nonEmpty =>
         val mean = Array.tabulate(16) { k =>
@@ -2086,6 +2915,10 @@ object MediaJob {
       case _ => () // non-MJPEG AVI → header/fold tier below
     }
     decodeWavRms(b) match {
+      case Some((rate, frames, feat)) => return (rate, frames, 1, feat)
+      case None => ()
+    }
+    decodeFlacRms(b) match {
       case Some((rate, frames, feat)) => return (rate, frames, 1, feat)
       case None => ()
     }
@@ -2216,7 +3049,7 @@ object MediaJob {
       .map { case (ref, docId, _, bytes) =>
         val b = if (bytes == null) Array.empty[Byte] else bytes
         decodePngLuma(b).orElse(decodeJpegLuma(b)).orElse(decodeGifLuma(b))
-          .orElse(decodeBmpLuma(b)) match {
+          .orElse(decodeBmpLuma(b)).orElse(decodeTiffLuma(b)) match {
           case Some((w, h, _, luma)) =>
             val (ow, oh) = fitWithin(w, h, maxW, maxH)
             val rs = bilinearResize(w, h, luma, ow, oh)
@@ -2255,9 +3088,18 @@ object MediaJob {
     import spark.implicits._
     media.select(col("media_ref"), col("doc_id"), col("media_type"), col("bytes"))
       .as[(String, String, String, Array[Byte])]
-      .filter(_._3 == "video")
-      .flatMap { case (ref, docId, _, bytes) =>
-        decodeAviMjpeg(bytes) match {
+      .filter(r => r._3 == "video" || r._3 == "image")
+      .flatMap { case (ref, docId, mType, bytes) =>
+        // animated GIFs arrive typed "image" but carry a frame sequence —
+        // sample their REAL per-frame grids too; still images emit nothing
+        if (mType == "image") {
+          decodeGif(bytes) match { // decode cap 64 frames, like the MJPEG tier
+            case Some((_, _, n, grids, _)) if n > 1 =>
+              (0 until grids.length by everyNth).map(idx =>
+                SampledFrame(ref, docId, idx, grids(idx)))
+            case _ => Seq.empty
+          }
+        } else decodeAviMjpeg(bytes) match {
           case Some((_, _, _, frames)) if frames.nonEmpty =>
             (0 until frames.length by everyNth).map(idx =>
               SampledFrame(ref, docId, idx, frames(idx)))

@@ -1385,9 +1385,18 @@ class StreamingMediaSpec extends AnyFunSuite {
     }
     val avi = encodeAvi(w, h, frames)
     val junk = Array.tabulate[Byte](64)(i => (i * 13 + 1).toByte)
+    // an animated GIF (typed "image") and a still GIF: the animation
+    // samples real composited per-frame grids, the still emits nothing
+    val gifCt = Array.tabulate[Byte](256 * 3)(i => (i / 3).toByte)
+    val gifFrames = (0 until 4).map(n =>
+      GifFrame(0, 0, 8, 8, Array.tabulate(64)(k => (k * (n + 2)) % 256)))
+    val animGif = encodeGif(8, 8, gifCt, 0, gifFrames)
+    val stillGif = encodeGif(8, 8, gifCt, 0, gifFrames.take(1))
     val rows = Seq(
       ("m/avi1", "d1", "video", avi),
-      ("m/junk1", "d2", "video", junk))
+      ("m/junk1", "d2", "video", junk),
+      ("m/gif1", "d3", "image", animGif),
+      ("m/gif2", "d4", "image", stillGif))
     val media = rows.toDF("media_ref", "doc_id", "media_type", "bytes")
     val out = MediaJob.sampleFramesDecoded(spark, media, everyNth = 2)
       .collect().groupBy(_.media_ref)
@@ -1397,6 +1406,13 @@ class StreamingMediaSpec extends AnyFunSuite {
     aviFrames.foreach(f =>
       assert(f.frame_feature.sameElements(expected(f.frame_idx)),
         s"frame ${f.frame_idx} must carry its own decoded grid"))
+    // animated GIF: sampled frames carry the decoded per-frame grids
+    val gifOut = out("m/gif1").sortBy(_.frame_idx)
+    assert(gifOut.map(_.frame_idx).toSeq == Seq(0, 2))
+    val Some((_, _, _, gifGrids, _)) = MediaJob.decodeGif(animGif)
+    gifOut.foreach(f =>
+      assert(f.frame_feature.sameElements(gifGrids(f.frame_idx))))
+    assert(!out.contains("m/gif2"), "a still image emits no frame rows")
     // undecodable video: the deterministic rotation fallback over decodeStub
     val (_, _, d3, feat) = MediaJob.decodeStub("video", junk)
     val junkFrames = out("m/junk1").sortBy(_.frame_idx)
@@ -1825,6 +1841,634 @@ class StreamingMediaSpec extends AnyFunSuite {
       MediaJob.decodeBmpLuma(full.take(cut)) // must not throw
   }
 
+  // ---------------------------------------------------------------------
+  // Independent MP3 frame assembler and Ogg page assembler for the audio
+  // metadata walks.
+  private def mp3Frame(verBits: Int, layerBits: Int, brIdx: Int, srIdx: Int,
+                       padding: Int, mode: Int, kbps: Int, sr: Int,
+                       samples: Int): Array[Byte] = {
+    val len =
+      if (layerBits == 3) (12 * kbps * 1000 / sr + padding) * 4 // Layer I
+      else samples / 8 * kbps * 1000 / sr + padding
+    val f = new Array[Byte](len)
+    f(0) = 0xff.toByte
+    f(1) = (0xe0 | (verBits << 3) | (layerBits << 1) | 1).toByte // no CRC
+    f(2) = ((brIdx << 4) | (srIdx << 2) | (padding << 1)).toByte
+    f(3) = (mode << 6).toByte
+    f
+  }
+
+  private def oggPage(granule: Long, serial: Int, seq: Int,
+                      body: Array[Byte], headerType: Int = 0): Array[Byte] = {
+    require(body.length < 255 * 255)
+    val segs =
+      if (body.isEmpty) Array[Byte](0)
+      else {
+        val full = body.length / 255
+        val lastN = body.length % 255
+        (Array.fill(full)(255.toByte) :+ lastN.toByte)
+      }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("OggS".getBytes("US-ASCII"))
+    out.write(0); out.write(headerType)
+    for (k <- 0 until 8) out.write(((granule >> (8 * k)) & 0xff).toInt)
+    for (k <- 0 until 4) out.write((serial >> (8 * k)) & 0xff)
+    for (k <- 0 until 4) out.write((seq >> (8 * k)) & 0xff)
+    out.write(Array[Byte](0, 0, 0, 0)) // CRC (the walk doesn't verify it)
+    out.write(segs.length)
+    out.write(segs)
+    out.write(body)
+    out.toByteArray
+  }
+
+  test("MP3 metadata walk: frame headers accumulate samples across layers and versions") {
+    // MPEG-1 Layer III, 128 kbps @ 44100, stereo: 1152 samples/frame
+    val f1 = mp3Frame(3, 1, 9, 0, 0, 0, 128, 44100, 1152)
+    assert(f1.length == 417)
+    val mp3 = Array.concat(f1, f1, f1, f1, f1)
+    assert(MediaJob.probeMp3(mp3) == Some((44100, 5 * 1152, 2)))
+    // leading ID3v2 tag (syncsafe size) is skipped
+    val id3 = "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 1, 4) ++
+      Array.fill[Byte](132)(0x55) // size = 1<<7 | 4 = 132
+    assert(MediaJob.probeMp3(id3 ++ mp3) == Some((44100, 5 * 1152, 2)))
+    // MPEG-2 Layer III mono @ 22050: 576 samples/frame
+    val f2 = mp3Frame(2, 1, 5, 0, 0, 3, 40, 22050, 576)
+    assert(MediaJob.probeMp3(Array.concat(f2, f2, f2)) == Some((22050, 3 * 576, 1)))
+    // Layer I @ 48000: 384 samples/frame, the x4 slot formula
+    val fL1 = mp3Frame(3, 3, 8, 1, 0, 0, 256, 48000, 384)
+    assert(fL1.length == (12 * 256000 / 48000) * 4)
+    assert(MediaJob.probeMp3(Array.concat(fL1, fL1)) == Some((48000, 2 * 384, 2)))
+    // padding bit lengthens the frame by one byte without breaking the walk
+    val fp = mp3Frame(3, 1, 9, 0, 1, 0, 128, 44100, 1152)
+    assert(MediaJob.probeMp3(Array.concat(fp, f1)) == Some((44100, 2 * 1152, 2)))
+    // a truncated final frame still counts (its header declares the samples)
+    assert(MediaJob.probeMp3(mp3.take(417 * 2 + 100)) == Some((44100, 3 * 1152, 2)))
+    // trailing garbage ends the walk at the prefix; pure garbage is None
+    assert(MediaJob.probeMp3(f1 ++ "garbage".getBytes) == Some((44100, 1152, 2)))
+    assert(MediaJob.probeMp3("garbage".getBytes).isEmpty)
+    assert(MediaJob.probeMp3(null).isEmpty)
+    // free-format (bitrate idx 0) and reserved indices reject
+    val free = f1.clone(); free(2) = 0
+    assert(MediaJob.probeMp3(free).isEmpty)
+    // probeHeader dispatches MP3 (raw and ID3-prefixed)
+    assert(MediaJob.probeHeader("audio", mp3) == Some((44100, 5 * 1152, 2)))
+    val (_, _, _, feat) = MediaJob.decodeStub("audio", mp3)
+    assert(feat.length == 16)
+  }
+
+  test("Ogg metadata walk: Vorbis and Opus id headers plus last-page granule") {
+    // Vorbis id packet: \x01vorbis ver(4) channels(1) rate(4) ...
+    val vorbisId = Array[Byte](1) ++ "vorbis".getBytes ++
+      Array[Byte](0, 0, 0, 0, 2) ++ // version, channels=2
+      Array[Byte](0x44, 0xac.toByte, 0, 0) ++ // 44100 u32le
+      Array.fill[Byte](9)(0)
+    val audioBody = Array.fill[Byte](100)(0x11)
+    val ogg = oggPage(0, 7, 0, vorbisId, headerType = 2) ++
+      oggPage(30000, 7, 1, audioBody) ++
+      oggPage(88200, 7, 2, audioBody, headerType = 4)
+    assert(MediaJob.probeOgg(ogg) == Some((44100, 88200, 2)))
+    assert(MediaJob.probeHeader("audio", ogg) == Some((44100, 88200, 2)))
+    // Opus: granule ticks at 48 kHz; pre-skip subtracts
+    val opusId = "OpusHead".getBytes ++ Array[Byte](1, 1) ++ // ver, channels=1
+      Array[Byte](0x38, 1) ++ // pre-skip 312 u16le
+      Array[Byte](0x80.toByte, 0xbb.toByte, 0, 0) ++ // input rate 48000
+      Array.fill[Byte](3)(0)
+    val oggOpus = oggPage(0, 9, 0, opusId, headerType = 2) ++
+      oggPage(960 * 50, 9, 1, audioBody, headerType = 4)
+    assert(MediaJob.probeOgg(oggOpus) == Some((48000, 960 * 50 - 312, 1)))
+    // truncated tail: the last VISIBLE page's granule answers
+    val cut = ogg.take(oggPage(0, 7, 0, vorbisId, headerType = 2).length +
+      oggPage(30000, 7, 1, audioBody).length + 10)
+    assert(MediaJob.probeOgg(cut) == Some((44100, 30000, 2)))
+    // a -1 granule (page with no packet end) must not regress the count
+    val oggNeg = oggPage(0, 7, 0, vorbisId, headerType = 2) ++
+      oggPage(50000, 7, 1, audioBody) ++
+      oggPage(-1L, 7, 2, audioBody)
+    assert(MediaJob.probeOgg(oggNeg) == Some((44100, 50000, 2)))
+    // garbage and non-Ogg bytes are None; never a throw on truncations
+    assert(MediaJob.probeOgg("OggZ not really".getBytes).isEmpty)
+    for (c <- Seq(3, 26, 27, 40)) MediaJob.probeOgg(ogg.take(c))
+  }
+
+  // ---------------------------------------------------------------------
+  // Independent FLAC encoder: its own MSB-first bit writer, real CRC-8/
+  // CRC-16 (polys 0x07/0x8005), STREAMINFO assembly, rice residual
+  // ENCODER with zig-zag folding and partitioning — a separate derivation
+  // of RFC 9639 pinning the kernel's decoder.
+  private final class FlacBitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var cur = 0; private var nbits = 0
+    def write(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        cur = (cur << 1) | ((v >> k) & 1); nbits += 1
+        if (nbits == 8) { buf.write(cur); cur = 0; nbits = 0 }
+        k -= 1
+      }
+    }
+    def writeUnary(q: Int): Unit = {
+      (0 until q).foreach(_ => write(0, 1)); write(1, 1)
+    }
+    def align(): Unit = while (nbits != 0) write(0, 1)
+    def bytesSoFar: Array[Byte] = {
+      require(nbits == 0, "snapshot only at byte alignment")
+      buf.toByteArray
+    }
+  }
+
+  private def flacCrc8(bytes: Array[Byte]): Int = {
+    var crc = 0
+    for (b <- bytes) {
+      crc ^= (b & 0xff)
+      for (_ <- 0 until 8)
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+    }
+    crc
+  }
+
+  private def flacCrc16(bytes: Array[Byte]): Int = {
+    var crc = 0
+    for (b <- bytes) {
+      crc ^= (b & 0xff) << 8
+      for (_ <- 0 until 8)
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+        else (crc << 1) & 0xffff
+    }
+    crc
+  }
+
+  private def flacStreamInfo(rate: Int, channels: Int, bps: Int,
+                             total: Long): Array[Byte] = {
+    val w = new FlacBitWriter
+    w.write(4096, 16); w.write(4096, 16) // min/max block size
+    w.write(0, 24); w.write(0, 24) // min/max frame size (unknown)
+    w.write(rate, 20)
+    w.write(channels - 1, 3)
+    w.write(bps - 1, 5)
+    w.write((total >> 32).toInt & 0xf, 4)
+    w.write(total.toInt, 32)
+    (0 until 16).foreach(_ => w.write(0, 8)) // md5 (unverified)
+    val body = w.bytesSoFar
+    "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x80.toByte, 0, 0, body.length.toByte) ++ body
+  }
+
+  private def flacZigzag(v: Int): Long = ((v.toLong << 1) ^ (v.toLong >> 63)) & 0xffffffffL
+
+  private def flacWriteRice(w: FlacBitWriter, resid: Array[Int], n: Int,
+                            order: Int, partOrder: Int, param: Int): Unit = {
+    w.write(0, 2) // method: 4-bit rice
+    w.write(partOrder, 4)
+    val parts = 1 << partOrder
+    var k = 0
+    for (p <- 0 until parts) {
+      val cnt = (n >> partOrder) - (if (p == 0) order else 0)
+      w.write(param, 4)
+      for (_ <- 0 until cnt) {
+        val u = flacZigzag(resid(k)); k += 1
+        w.writeUnary((u >>> param).toInt)
+        if (param > 0) w.write((u & ((1L << param) - 1)).toInt, param)
+      }
+    }
+  }
+
+  /** One frame; subWriter fills in the per-channel subframes. */
+  private def flacFrame(frameIdx: Int, blockSize: Int, bps: Int, chAsgn: Int,
+                        subWriter: FlacBitWriter => Unit): Array[Byte] = {
+    val w = new FlacBitWriter
+    w.write(0x3ffe, 14); w.write(0, 1); w.write(0, 1)
+    val bsCode = if (blockSize <= 256) 6 else 7
+    w.write(bsCode, 4)
+    w.write(0, 4) // sample rate: from STREAMINFO
+    w.write(chAsgn, 4)
+    val ssCode = bps match {
+      case 8 => 1; case 12 => 2; case 16 => 4; case 20 => 5; case 24 => 6
+      case _ => 0
+    }
+    w.write(ssCode, 3); w.write(0, 1)
+    w.write(frameIdx & 0x7f, 8) // single-byte coded number
+    if (bsCode == 6) w.write(blockSize - 1, 8) else w.write(blockSize - 1, 16)
+    w.write(flacCrc8(w.bytesSoFar), 8)
+    subWriter(w)
+    w.align()
+    w.write(flacCrc16(w.bytesSoFar), 16)
+    w.bytesSoFar
+  }
+
+  private def flacVerbatim(w: FlacBitWriter, samples: Array[Int], bps: Int,
+                           wasted: Int = 0): Unit = {
+    w.write(0, 1); w.write(1, 6)
+    if (wasted == 0) w.write(0, 1)
+    else { w.write(1, 1); (0 until wasted - 1).foreach(_ => w.write(0, 1)); w.write(1, 1) }
+    samples.foreach(s => w.write(s >> wasted, bps - wasted))
+  }
+
+  private def flacRmsOf(samples: Array[Double], nFrames: Int): Array[Float] = {
+    // the documented 16-window RMS shape, derived here independently
+    val perFrame = samples.length / nFrames
+    Array.tabulate(16) { win =>
+      val s0 = (win.toLong * nFrames / 16).toInt * perFrame
+      val s1 = ((win + 1).toLong * nFrames / 16).toInt * perFrame
+      val n = s1 - s0
+      if (n == 0) -0.5f
+      else {
+        var sum = 0.0
+        for (s <- s0 until s1) sum += samples(s) * samples(s)
+        (math.sqrt(sum / n) - 0.5).toFloat
+      }
+    }
+  }
+
+  test("FLAC decode: verbatim subframe round-trips exact samples (RMS ground truth)") {
+    val n = 64
+    val x = Array.tabulate(n)(k =>
+      (math.sin(k * 0.3) * 12000).toInt) // 16-bit scale signal
+    val flac = flacStreamInfo(8000, 1, 16, n) ++
+      flacFrame(0, n, 16, 0, w => flacVerbatim(w, x, 16))
+    val dec = MediaJob.decodeFlacRms(flac)
+    assert(dec.isDefined, "verbatim FLAC must decode")
+    val (rate, frames, feat) = dec.get
+    assert((rate, frames) == (8000, n))
+    val expect = flacRmsOf(x.map(_ / 32768.0), n)
+    assert(feat.sameElements(expect), "decoded RMS must equal the ground-truth RMS")
+  }
+
+  test("FLAC decode: constant, fixed-order and LPC subframes reconstruct exactly") {
+    val n = 64
+    // a smooth signal so low-order prediction has small residuals
+    val x = Array.tabulate(n)(k => (math.sin(k * 0.2) * 8000).toInt)
+    def verbatimFile(sig: Array[Int]) = flacStreamInfo(8000, 1, 16, n) ++
+      flacFrame(0, n, 16, 0, w => flacVerbatim(w, sig, 16))
+
+    // FIXED order 2: residual e(k) = x(k) - 2x(k-1) + x(k-2)
+    val resid2 = Array.tabulate(n)(k =>
+      if (k < 2) 0 else x(k) - 2 * x(k - 1) + x(k - 2))
+    val fixedFile = flacStreamInfo(8000, 1, 16, n) ++
+      flacFrame(0, n, 16, 0, { w =>
+        w.write(0, 1); w.write(10, 6); w.write(0, 1) // FIXED order 2
+        w.write(x(0) & 0xffff, 16); w.write(x(1) & 0xffff, 16)
+        flacWriteRice(w, resid2.drop(2), n, 2, 0, 6)
+      })
+    val vDec = MediaJob.decodeFlacRms(verbatimFile(x)).get
+    val fDec = MediaJob.decodeFlacRms(fixedFile).get
+    assert(fDec._3.sameElements(vDec._3),
+      "FIXED-order-2 reconstruction must equal the verbatim decode")
+
+    // FIXED order 2 with PARTITIONED residual (order 2 -> 4 partitions)
+    val partFile = flacStreamInfo(8000, 1, 16, n) ++
+      flacFrame(0, n, 16, 0, { w =>
+        w.write(0, 1); w.write(10, 6); w.write(0, 1)
+        w.write(x(0) & 0xffff, 16); w.write(x(1) & 0xffff, 16)
+        flacWriteRice(w, resid2.drop(2), n, 2, 2, 6)
+      })
+    assert(MediaJob.decodeFlacRms(partFile).get._3.sameElements(vDec._3),
+      "4-partition rice residual must reconstruct identically")
+
+    // LPC order 2: coefs (3, -2), shift 1 -> pred = (3x[k-1] - 2x[k-2]) >> 1
+    val residL = Array.tabulate(n) { k =>
+      if (k < 2) 0
+      else x(k) - (((3L * x(k - 1) - 2L * x(k - 2)) >> 1)).toInt
+    }
+    val lpcFile = flacStreamInfo(8000, 1, 16, n) ++
+      flacFrame(0, n, 16, 0, { w =>
+        w.write(0, 1); w.write(32 + 1, 6); w.write(0, 1) // LPC order 2
+        w.write(x(0) & 0xffff, 16); w.write(x(1) & 0xffff, 16)
+        w.write(14, 4) // precision-1 = 14 -> 15-bit coefs
+        w.write(1, 5)  // shift 1
+        w.write(3 & 0x7fff, 15); w.write(-2 & 0x7fff, 15)
+        flacWriteRice(w, residL.drop(2), n, 2, 0, 6)
+      })
+    assert(MediaJob.decodeFlacRms(lpcFile).get._3.sameElements(vDec._3),
+      "LPC reconstruction must equal the verbatim decode")
+
+    // CONSTANT subframe: a silent stream has RMS exactly -0.5 per window
+    val silent = flacStreamInfo(8000, 1, 16, n) ++
+      flacFrame(0, n, 16, 0, { w =>
+        w.write(0, 1); w.write(0, 6); w.write(0, 1); w.write(0, 16)
+      })
+    val sDec = MediaJob.decodeFlacRms(silent).get
+    assert(sDec._3.forall(_ == -0.5f))
+
+    // wasted bits: samples all multiples of 4 stored at bps-2
+    val x4 = x.map(v => (v / 4) * 4)
+    val wastedFile = flacStreamInfo(8000, 1, 16, n) ++
+      flacFrame(0, n, 16, 0, w => flacVerbatim(w, x4, 16, wasted = 2))
+    val wDec = MediaJob.decodeFlacRms(wastedFile).get
+    assert(wDec._3.sameElements(MediaJob.decodeFlacRms(verbatimFile(x4)).get._3),
+      "wasted-bits restore must recover the shifted samples")
+  }
+
+  test("FLAC decode: stereo decorrelation modes and multi-frame truncation") {
+    val n = 32
+    val left = Array.tabulate(n)(k => (math.sin(k * 0.4) * 9000).toInt)
+    val right = Array.tabulate(n)(k => (math.cos(k * 0.25) * 7000).toInt)
+    // independent channels (chAsgn 1): the reference decode
+    def indep = flacStreamInfo(8000, 2, 16, n) ++
+      flacFrame(0, n, 16, 1, { w =>
+        flacVerbatim(w, left, 16); flacVerbatim(w, right, 16)
+      })
+    val ref = MediaJob.decodeFlacRms(indep).get
+    // mid/side (chAsgn 10): mid = (L+R)>>1, side = L-R (side gets 17 bits)
+    val mid = Array.tabulate(n)(k => (left(k) + right(k)) >> 1)
+    val side = Array.tabulate(n)(k => left(k) - right(k))
+    val ms = flacStreamInfo(8000, 2, 16, n) ++
+      flacFrame(0, n, 16, 10, { w =>
+        flacVerbatim(w, mid, 16); flacVerbatim(w, side, 17)
+      })
+    assert(MediaJob.decodeFlacRms(ms).get._3.sameElements(ref._3),
+      "mid/side must reconstruct the exact L/R samples")
+    // left/side (8) and right/side (9)
+    val ls = flacStreamInfo(8000, 2, 16, n) ++
+      flacFrame(0, n, 16, 8, { w =>
+        flacVerbatim(w, left, 16); flacVerbatim(w, side, 17)
+      })
+    assert(MediaJob.decodeFlacRms(ls).get._3.sameElements(ref._3))
+    val rs = flacStreamInfo(8000, 2, 16, n) ++
+      flacFrame(0, n, 16, 9, { w =>
+        flacVerbatim(w, side, 17); flacVerbatim(w, right, 16)
+      })
+    assert(MediaJob.decodeFlacRms(rs).get._3.sameElements(ref._3))
+
+    // three frames; a truncated third leaves the two-frame prefix
+    val f = (i: Int) => flacFrame(i, n, 16, 1, { w =>
+      flacVerbatim(w, left, 16); flacVerbatim(w, right, 16)
+    })
+    val three = flacStreamInfo(8000, 2, 16, 3L * n) ++ f(0) ++ f(1) ++ f(2)
+    assert(MediaJob.decodeFlacRms(three).get._2 == 3 * n)
+    val cut = three.take(three.length - f(2).length / 2)
+    val cutDec = MediaJob.decodeFlacRms(cut)
+    assert(cutDec.isDefined && cutDec.get._2 == 2 * n,
+      "a truncated tail frame must leave the decoded prefix")
+
+    // dispatch + probe fallback + crafted safety
+    val (rate, frames, ch, feat) = MediaJob.decodeStub("audio", three)
+    assert((rate, frames, ch) == (8000, 3 * n, 1) && feat.length == 16)
+    val headerOnly = flacStreamInfo(44100, 2, 16, 12345L)
+    assert(MediaJob.decodeFlacRms(headerOnly).isEmpty)
+    assert(MediaJob.probeHeader("audio", headerOnly) == Some((44100, 12345, 2)))
+    for (c <- Seq(3, 10, 41, 50, three.length - 3))
+      MediaJob.decodeFlacRms(three.take(c)) // must not throw
+  }
+
+  // ---------------------------------------------------------------------
+  // Independent TIFF assembler (both byte orders, hand-built IFDs) with
+  // its own PackBits and TIFF-LZW COMPRESSORS (MSB-first packing, EARLY
+  // code-width change) — a separate derivation of TIFF 6.0.
+  private def tiffLzwCompress(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0L; var nbits = 0
+    var codeSize = 9
+    def emit(code: Int): Unit = {
+      cur = (cur << codeSize) | code; nbits += codeSize
+      while (nbits >= 8) {
+        out.write(((cur >> (nbits - 8)) & 0xff).toInt); nbits -= 8
+      }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var nextCode = 258
+    emit(256)
+    var prev = -1
+    for (byteV <- data) {
+      val s = byteV & 0xff
+      if (prev == -1) prev = s
+      else dict.get((prev, s)) match {
+        case Some(c) => prev = c
+        case None =>
+          emit(prev)
+          dict((prev, s)) = nextCode; nextCode += 1
+          // EARLY change: the decoder widens one code sooner than GIF's
+          if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+          if (nextCode >= 4093) {
+            emit(256); dict.clear(); nextCode = 258; codeSize = 9
+          }
+          prev = s
+      }
+    }
+    if (prev != -1) emit(prev)
+    emit(257)
+    if (nbits > 0) out.write(((cur << (8 - nbits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  private def packBitsCompress(data: Array[Byte]): Array[Byte] = {
+    // simple run/literal splitter: runs of >= 3 become repeats
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && data(i + run) == data(i) && run < 128) run += 1
+      if (run >= 3) { out.write(1 - run); out.write(data(i)); i += run }
+      else {
+        var lit = i
+        while (lit < data.length && lit - i < 128 &&
+          !(lit + 2 < data.length && data(lit) == data(lit + 1) &&
+            data(lit) == data(lit + 2))) lit += 1
+        out.write(lit - i - 1)
+        out.write(data, i, lit - i)
+        i = lit
+      }
+    }
+    out.toByteArray
+  }
+
+  private def encodeTiff(le: Boolean, entries: Seq[(Int, Int, Int, Long)],
+                         trailing: Array[Byte]): Array[Byte] = {
+    def w16(v: Int) =
+      if (le) Array[Byte](v.toByte, (v >> 8).toByte)
+      else Array[Byte]((v >> 8).toByte, v.toByte)
+    def w32(v: Long) =
+      if (le) Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+      else Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(if (le) "II".getBytes ++ Array[Byte](42, 0)
+              else "MM".getBytes ++ Array[Byte](0, 42))
+    out.write(w32(8))
+    out.write(w16(entries.length))
+    for ((tag, typ, cnt, v) <- entries) {
+      out.write(w16(tag)); out.write(w16(typ)); out.write(w32(cnt))
+      if (typ == 3 && cnt == 1) { out.write(w16(v.toInt)); out.write(w16(0)) }
+      else out.write(w32(v))
+    }
+    out.write(w32(0)) // no next IFD
+    out.write(trailing)
+    out.toByteArray
+  }
+
+  /** offset of the byte right after the IFD, where `trailing` starts */
+  private def tiffDataOff(nEntries: Int): Int = 8 + 2 + 12 * nEntries + 4
+
+  test("TIFF decode: 8-bit gray strips in both byte orders, multi-strip assembly") {
+    val w = 6; val h = 4
+    val px = Array.tabulate(w * h)(k => ((k * 31) % 256).toByte)
+    // two strips of 2 rows each; strip arrays live out-of-line
+    for (le <- Seq(true, false)) {
+      val n = 8
+      val base = tiffDataOff(n)
+      // trailing: stripOffsets(2 LONGs) ++ stripCounts(2 LONGs) ++ px
+      val pxOff = base + 16
+      def w32v(v: Int) =
+        if (le) Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+        else Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      val trailing = w32v(pxOff) ++ w32v(pxOff + w * 2) ++
+        w32v(w * 2) ++ w32v(w * 2) ++ px
+      val tiff = encodeTiff(le, Seq(
+        (256, 3, 1, w.toLong), (257, 3, 1, h.toLong), (258, 3, 1, 8L),
+        (259, 3, 1, 1L), (262, 3, 1, 1L),
+        (273, 4, 2, base.toLong), (278, 3, 1, 2L), (279, 4, 2, base + 8L)),
+        trailing)
+      val dec = MediaJob.decodeTiffLuma(tiff)
+      assert(dec.isDefined, s"gray TIFF (le=$le) must decode")
+      val (dw, dh, _, luma) = dec.get
+      assert((dw, dh) == (w, h))
+      px.zipWithIndex.foreach { case (v, k) =>
+        assert(luma(k) == (v & 0xff).toFloat, s"le=$le pixel $k")
+      }
+    }
+  }
+
+  test("TIFF decode: RGB, palette, 1-bit WhiteIsZero, 16-bit gray") {
+    // RGB chunky, single strip
+    val w = 3; val h = 2
+    val rgb = Array.tabulate[Byte](w * h * 3)(k => ((k * 23 + 5) % 256).toByte)
+    val n1 = 8
+    val tiffRgb = encodeTiff(le = true, Seq(
+      (256, 3, 1, w.toLong), (257, 3, 1, h.toLong), (258, 3, 1, 8L),
+      (259, 3, 1, 1L), (262, 3, 1, 2L),
+      (273, 4, 1, tiffDataOff(n1).toLong), (277, 3, 1, 3L),
+      (279, 4, 1, (w * h * 3).toLong)), rgb)
+    val (_, _, ch, lr) = MediaJob.decodeTiffLuma(tiffRgb).get
+    assert(ch == 3)
+    for (k <- 0 until w * h) {
+      val r = rgb(3 * k) & 0xff; val g = rgb(3 * k + 1) & 0xff
+      val bl = rgb(3 * k + 2) & 0xff
+      assert(math.abs(lr(k) - bmpRgbLuma(r, g, bl)) < 1e-3f, s"RGB px $k")
+    }
+    // palette 4-bit: 16-entry ColorMap of u16s (value * 257 scales back)
+    val idx = Array(1, 15, 7, 0, 3, 9) // 6 px, 3 per row -> 2 bytes + pad? w=3 -> 2 bytes/row
+    val rows = Array[Byte](((idx(0) << 4) | idx(1)).toByte, (idx(2) << 4).toByte,
+      ((idx(3) << 4) | idx(4)).toByte, (idx(5) << 4).toByte)
+    val n2 = 8
+    val cmapOff = tiffDataOff(n2)
+    val cmap = new java.io.ByteArrayOutputStream()
+    def gray16(k: Int) = k * 16 // palette gray value
+    for (plane <- 0 until 3; k <- 0 until 16) {
+      val v = gray16(k) * 257
+      cmap.write(v & 0xff); cmap.write((v >> 8) & 0xff) // LE u16
+    }
+    val pxOff = cmapOff + 96
+    val tiffPal = encodeTiff(le = true, Seq(
+      (256, 3, 1, 3L), (257, 3, 1, 2L), (258, 3, 1, 4L),
+      (259, 3, 1, 1L), (262, 3, 1, 3L),
+      (273, 4, 1, pxOff.toLong), (279, 4, 1, rows.length.toLong),
+      (320, 3, 48, cmapOff.toLong)), cmap.toByteArray ++ rows)
+    val (_, _, _, lp) = MediaJob.decodeTiffLuma(tiffPal).get
+    for (k <- 0 until 6) {
+      val g = gray16(idx(k))
+      assert(math.abs(lp(k) - bmpRgbLuma(g, g, g)) < 1e-3f, s"palette px $k")
+    }
+    // 1-bit WhiteIsZero: bit 0 -> white (255), bit 1 -> black
+    val bits = Array[Byte](0xa0.toByte) // row: 1,0,1 (3 px, MSB-first)
+    val n3 = 7
+    val tiff1 = encodeTiff(le = true, Seq(
+      (256, 3, 1, 3L), (257, 3, 1, 1L), (258, 3, 1, 1L),
+      (259, 3, 1, 1L), (262, 3, 1, 0L),
+      (273, 4, 1, tiffDataOff(n3).toLong), (279, 4, 1, 1L)), bits)
+    val (_, _, _, l1) = MediaJob.decodeTiffLuma(tiff1).get
+    assert(l1(0) == 0.0f && l1(1) == 255.0f && l1(2) == 0.0f,
+      "WhiteIsZero must invert: set bits are black")
+    // 16-bit gray LE: high byte is the luma
+    val px16 = Array[Byte](0x34, 0x12, 0x00, 0xff.toByte) // 0x1234, 0xff00
+    val tiff16 = encodeTiff(le = true, Seq(
+      (256, 3, 1, 2L), (257, 3, 1, 1L), (258, 3, 1, 16L),
+      (259, 3, 1, 1L), (262, 3, 1, 1L),
+      (273, 4, 1, tiffDataOff(n3).toLong), (279, 4, 1, 4L)), px16)
+    val (_, _, _, l16) = MediaJob.decodeTiffLuma(tiff16).get
+    assert(l16(0) == 0x12.toFloat && l16(1) == 0xff.toFloat)
+  }
+
+  test("TIFF decode: PackBits and LZW-with-predictor round-trips") {
+    val w = 16; val h = 8
+    // a horizontal gradient compresses well under differencing
+    val px = Array.tabulate[Byte](w * h)(k => ((k % w) * 12 + k / w).toByte)
+    val n = 8
+    def entriesFor(comp: Int, dataLen: Int, pred: Int) = Seq(
+      (256, 3, 1, w.toLong), (257, 3, 1, h.toLong), (258, 3, 1, 8L),
+      (259, 3, 1, comp.toLong), (262, 3, 1, 1L),
+      (273, 4, 1, tiffDataOff(n).toLong), (279, 4, 1, dataLen.toLong),
+      (317, 3, 1, pred.toLong))
+    // PackBits
+    val pb = packBitsCompress(px)
+    val tiffPb = encodeTiff(le = true, entriesFor(32773, pb.length, 1), pb)
+    val (_, _, _, lPb) = MediaJob.decodeTiffLuma(tiffPb).get
+    px.zipWithIndex.foreach { case (v, k) =>
+      assert(lPb(k) == (v & 0xff).toFloat, s"PackBits px $k")
+    }
+    // LZW with horizontal differencing: encode the DIFFERENCED rows
+    val diffed = px.clone()
+    for (r <- 0 until h; x <- (w - 1) to 1 by -1)
+      diffed(r * w + x) = (diffed(r * w + x) - diffed(r * w + x - 1)).toByte
+    val lzw = tiffLzwCompress(diffed)
+    val tiffLz = encodeTiff(le = true, entriesFor(5, lzw.length, 2), lzw)
+    val (_, _, _, lLz) = MediaJob.decodeTiffLuma(tiffLz).get
+    px.zipWithIndex.foreach { case (v, k) =>
+      assert(lLz(k) == (v & 0xff).toFloat, s"LZW px $k")
+    }
+    // LZW dictionary stress: noise forces width growth + mid-stream clear
+    val rng = new scala.util.Random(0x71ff)
+    val big = Array.fill[Byte](96 * 96)(rng.nextInt(256).toByte)
+    val lzwBig = tiffLzwCompress(big)
+    val tiffBig = encodeTiff(le = true, Seq(
+      (256, 3, 1, 96L), (257, 3, 1, 96L), (258, 3, 1, 8L),
+      (259, 3, 1, 5L), (262, 3, 1, 1L),
+      (273, 4, 1, tiffDataOff(7).toLong), (279, 4, 1, lzwBig.length.toLong)),
+      lzwBig)
+    val (_, _, _, lBig) = MediaJob.decodeTiffLuma(tiffBig).get
+    big.zipWithIndex.foreach { case (v, k) =>
+      assert(lBig(k) == (v & 0xff).toFloat, s"LZW-stress px $k")
+    }
+  }
+
+  test("TIFF/WebP probes: tiled fallback, WebP geometry, dispatch, crafted safety") {
+    // tiled TIFF (tag 322) rejects pixel decode but probes geometry
+    val tiled = encodeTiff(le = true, Seq(
+      (256, 3, 1, 64L), (257, 3, 1, 32L), (322, 3, 1, 16L),
+      (323, 3, 1, 16L)), Array.empty[Byte])
+    assert(MediaJob.decodeTiffLuma(tiled).isEmpty)
+    assert(MediaJob.probeHeader("image", tiled) == Some((64, 32, 1)))
+    // decodeStub rides the real TIFF decode
+    val w = 4; val h = 4
+    val px = Array.tabulate[Byte](w * h)(k => (k * 16).toByte)
+    val tiff = encodeTiff(le = true, Seq(
+      (256, 3, 1, w.toLong), (257, 3, 1, h.toLong), (258, 3, 1, 8L),
+      (259, 3, 1, 1L), (262, 3, 1, 1L),
+      (273, 4, 1, tiffDataOff(7).toLong), (279, 4, 1, px.length.toLong)), px)
+    val (sw, sh, _, feat) = MediaJob.decodeStub("image", tiff)
+    assert((sw, sh) == (w, h) && feat.length == 16)
+    for (cut <- Seq(3, 9, 20, 40, tiff.length - 3))
+      MediaJob.decodeTiffLuma(tiff.take(cut)) // never throws
+    // WebP: VP8 lossy key frame geometry
+    def rle32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val vp8 = "RIFF".getBytes ++ rle32(40) ++ "WEBP".getBytes ++
+      "VP8 ".getBytes ++ rle32(20) ++
+      Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a) ++
+      Array[Byte](64, 1, 0xc8.toByte, 0) ++ Array.fill[Byte](10)(0) // 320x200
+    assert(MediaJob.probeHeader("image", vp8) == Some((320, 200, 3)))
+    // VP8L lossless: 14-bit (w-1, h-1) packed after 0x2F
+    val dims = (299) | (149 << 14) // 300x150
+    val vp8l = "RIFF".getBytes ++ rle32(20) ++ "WEBP".getBytes ++
+      "VP8L".getBytes ++ rle32(12) ++
+      Array[Byte](0x2f, dims.toByte, (dims >> 8).toByte, (dims >> 16).toByte,
+        (dims >> 24).toByte) ++ Array.fill[Byte](8)(0)
+    assert(MediaJob.probeHeader("image", vp8l) == Some((300, 150, 3)))
+    // VP8X extended: 24-bit canvas dims
+    val vp8x = "RIFF".getBytes ++ rle32(30) ++ "WEBP".getBytes ++
+      "VP8X".getBytes ++ rle32(10) ++
+      Array[Byte](0, 0, 0, 0) ++
+      Array[Byte](0xff.toByte, 1, 0) ++ // w-1 = 511
+      Array[Byte](0x7f, 0, 0) ++ Array.fill[Byte](6)(0) // h-1 = 127
+    assert(MediaJob.probeHeader("image", vp8x) == Some((512, 128, 3)))
+  }
+
   test("mutation fuzz: corrupted valid containers never throw and always yield a 16-dim finite feature") {
     // The highest-yield fuzz seeds are VALID files: random byte flips,
     // truncations, length-field splices and garbage tails reach the deep
@@ -1888,9 +2532,48 @@ class StreamingMediaSpec extends AnyFunSuite {
       (if (i % 4 == 3) 0 else i / 4).toByte)
     val bmp = encodeBmp(6, 2, 8, Array[Byte](3, 200.toByte, 0, 3, 9, 77,
       130.toByte, 0, 0, 0, 6, 50, 0, 1), bmpPal, comp = 1)
+    // an MP3 frame chain and an Ogg-Vorbis stream reach the audio
+    // metadata walks
+    val mp3f = mp3Frame(3, 1, 9, 0, 0, 0, 128, 44100, 1152)
+    val mp3 = Array.concat(mp3f, mp3f, mp3f)
+    val oggV = oggPage(0, 7, 0,
+      Array[Byte](1) ++ "vorbis".getBytes ++ Array[Byte](0, 0, 0, 0, 2) ++
+        Array[Byte](0x44, 0xac.toByte, 0, 0) ++ Array.fill[Byte](9)(0),
+      headerType = 2) ++
+      oggPage(88200, 7, 1, Array.fill[Byte](60)(0x11), headerType = 4)
+    // a rice-coded fixed-predictor FLAC reaches the bit-level subframe
+    // and residual walks
+    val flacX = Array.tabulate(64)(k => (math.sin(k * 0.2) * 8000).toInt)
+    val flacResid = Array.tabulate(64)(k =>
+      if (k < 2) 0 else flacX(k) - 2 * flacX(k - 1) + flacX(k - 2))
+    val flac = flacStreamInfo(8000, 1, 16, 64) ++
+      flacFrame(0, 64, 16, 0, { w =>
+        w.write(0, 1); w.write(10, 6); w.write(0, 1)
+        w.write(flacX(0) & 0xffff, 16); w.write(flacX(1) & 0xffff, 16)
+        flacWriteRice(w, flacResid.drop(2), 64, 2, 2, 6)
+      })
+    // an LZW+predictor TIFF and a VP8 WebP reach the IFD/LZW and RIFF
+    // geometry walks
+    val tpx = Array.tabulate[Byte](8 * 8)(k => ((k % 8) * 9 + k / 8).toByte)
+    val tdiff = tpx.clone()
+    for (r <- 0 until 8; x <- 7 to 1 by -1)
+      tdiff(r * 8 + x) = (tdiff(r * 8 + x) - tdiff(r * 8 + x - 1)).toByte
+    val tlzw = tiffLzwCompress(tdiff)
+    val tiffSeed = encodeTiff(le = true, Seq(
+      (256, 3, 1, 8L), (257, 3, 1, 8L), (258, 3, 1, 8L),
+      (259, 3, 1, 5L), (262, 3, 1, 1L),
+      (273, 4, 1, tiffDataOff(8).toLong), (279, 4, 1, tlzw.length.toLong),
+      (317, 3, 1, 2L)), tlzw)
+    def rle32f(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val webpSeed = "RIFF".getBytes ++ rle32f(40) ++ "WEBP".getBytes ++
+      "VP8 ".getBytes ++ rle32f(20) ++
+      Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a) ++
+      Array[Byte](64, 1, 0xc8.toByte, 0) ++ Array.fill[Byte](10)(0)
     val seeds = Seq("image" -> png, "image" -> pngI16, "image" -> jpeg,
-      "image" -> jpegProg, "image" -> gif, "image" -> bmp, "video" -> avi,
-      "video" -> mp4, "video" -> mkv, "audio" -> wav, "audio" -> adpcm)
+      "image" -> jpegProg, "image" -> gif, "image" -> bmp,
+      "image" -> tiffSeed, "image" -> webpSeed, "video" -> avi,
+      "video" -> mp4, "video" -> mkv, "audio" -> wav, "audio" -> adpcm,
+      "audio" -> mp3, "audio" -> oggV, "audio" -> flac)
     def mutate(b: Array[Byte]): Array[Byte] = rng.nextInt(4) match {
       case 0 if b.nonEmpty => // flip 1-8 random bytes
         val m = b.clone()
