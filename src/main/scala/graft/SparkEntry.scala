@@ -644,6 +644,65 @@ object SparkEntry {
         .orderBy(col("media_ref"))
     }),
 
+    // WARC (ISO 28500) web-archive egress + ingest — the container format
+    // web-scale corpora arrive in (Common Crawl). Documents are encoded as
+    // per-partition .warc.gz shards (one gzip member per record, warcinfo +
+    // request/response interleave, UTF-16 and chunked-transfer variants by
+    // doc_id) and parsed back by the from-scratch reader; doc_id is
+    // recovered from the parsed target URI, so the oracle can replay every
+    // output column from `documents` alone. --------------------------------
+    "q_warc_roundtrip" -> ((s, dir) =>
+      graft.pipeline.WarcJob.roundTrip(s, t(s, dir, "documents"))),
+
+    // URL canonicalization (RFC 3986 §6 + crawl conventions) as native
+    // codegen'd expressions. Each doc gets a deterministically messy URL
+    // (case noise, default ports, dot segments, tracking params, unsorted
+    // query, percent-encoding variants, fragment) keyed on doc_id % 4;
+    // Spark runs the real kernel inside whole-stage codegen while the
+    // oracle states the expected canonical string per variant. -------------
+    "q_url_canonicalize" -> ((s, dir) => {
+      graft.plans.UrlExprs.register(s)
+      import graft.plans.UrlExprs.{url_canonicalize, url_host_reversed, url_registrable_domain}
+      val docs = t(s, dir, "documents")
+      val v = col("doc_id") % 4
+      val rawUrl = when(v === 0, concat(lit("HTTP://WWW."), upper(col("source")),
+          lit("-site.COM:80/a/b/../c/./d?utm_source=feed&z=26&a=1#frag")))
+        .when(v === 1, concat(lit("https://cdn."), col("source"),
+          lit("-site.CO.UK/%7e"), col("lang"), lit("/%41%2f?fbclid=abc")))
+        .when(v === 2, concat(lit("ftp://FILES."), col("source"), lit("-site.org:21")))
+        .otherwise(concat(lit("https://"), col("source"),
+          lit("-site.com.hk:8443/?b=2&b=1&a=3")))
+      val host = when(v === 0, concat(lit("www."), col("source"), lit("-site.com")))
+        .when(v === 1, concat(lit("cdn."), col("source"), lit("-site.co.uk")))
+        .when(v === 2, concat(lit("files."), col("source"), lit("-site.org")))
+        .otherwise(concat(col("source"), lit("-site.com.hk")))
+      docs.select(col("doc_id"), rawUrl.as("raw"), host.as("host"))
+        .select(col("doc_id"),
+          url_canonicalize(col("raw")).as("url_canon"),
+          url_registrable_domain(col("host")).as("site"),
+          url_host_reversed(col("host")).as("host_rev"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Site-level aggregation on the eTLD+1 key — the per-site operator
+    // (politeness buckets, site stats, intra-site dedup scope) a web-scale
+    // pipeline hangs off the registrable domain. groupBy on a codegen'd
+    // native expression; count + exact char sum per site. -----------------
+    "q_url_site_stats" -> ((s, dir) => {
+      graft.plans.UrlExprs.register(s)
+      import graft.plans.UrlExprs.url_registrable_domain
+      val docs = t(s, dir, "documents")
+      val v = col("doc_id") % 4
+      val host = when(v === 0, concat(lit("www."), col("source"), lit("-site.com")))
+        .when(v === 1, concat(lit("cdn."), col("source"), lit("-site.co.uk")))
+        .when(v === 2, concat(lit("files."), col("source"), lit("-site.org")))
+        .otherwise(concat(col("source"), lit("-site.com.hk")))
+      docs.select(url_registrable_domain(host).as("site"), col("n_chars"))
+        .groupBy(col("site"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("site"))
+    }),
+
     // HTML main-content extraction (north rule: boilerplate strip via
     // link/text-density heuristics). Corpus docs are wrapped in the FIXED
     // chrome of HtmlJob.chromePage, so the expected outcome of the
@@ -1493,6 +1552,60 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total,
         |  count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY total DESC, user_id LIMIT 5""".stripMargin,
+
+    // WARC round trip: every output column is a pure function of the
+    // documents row (URI template, fixed status/mime, charset/transfer
+    // variants keyed on doc_id, text invariance under encode→decode).
+    "q_warc_roundtrip" ->
+      """SELECT doc_id,
+        |  'https://' || source || '.example.org/' || lang || '/' ||
+        |    CAST(doc_id AS VARCHAR) AS url,
+        |  200 AS status,
+        |  'text/plain' AS content_type,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'utf-16' ELSE 'utf-8' END AS charset,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // URL canonicalization: the messy synthetic URL per doc_id % 4 variant
+    // has one RFC 3986 §6 canonical form, stated literally here — scheme/
+    // host lowercasing, default-port elision, dot-segment removal, %7e→~ /
+    // %41→A decoding with %2f kept encoded uppercased, tracking-param
+    // removal, query sort, fragment drop, empty-path → "/".
+    "q_url_canonicalize" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'http://www.' || source || '-site.com/a/c/d?a=1&z=26'
+        |    WHEN 1 THEN 'https://cdn.' || source || '-site.co.uk/~' || lang || '/A%2F'
+        |    WHEN 2 THEN 'ftp://files.' || source || '-site.org/'
+        |    ELSE 'https://' || source || '-site.com.hk:8443/?a=3&b=1&b=2'
+        |  END AS url_canon,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN source || '-site.com'
+        |    WHEN 1 THEN source || '-site.co.uk'
+        |    WHEN 2 THEN source || '-site.org'
+        |    ELSE source || '-site.com.hk'
+        |  END AS site,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'com.' || source || '-site.www'
+        |    WHEN 1 THEN 'uk.co.' || source || '-site.cdn'
+        |    WHEN 2 THEN 'org.' || source || '-site.files'
+        |    ELSE 'hk.com.' || source || '-site'
+        |  END AS host_rev
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Site stats: group by the expected eTLD+1 of each variant's host.
+    "q_url_site_stats" ->
+      """SELECT
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN source || '-site.com'
+        |    WHEN 1 THEN source || '-site.co.uk'
+        |    WHEN 2 THEN source || '-site.org'
+        |    ELSE source || '-site.com.hk'
+        |  END AS site,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY site""".stripMargin,
 
     // HTML extraction: the chrome is fixed (HtmlJob.chromePage), so the
     // WSDM-2010 classifier outcome reduces to the 17-word rule — the

@@ -32,5 +32,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_minmax"),
       new ExpressionInfo(classOf[ShingleMinMaxExpr].getName, "shingle_minmax"),
       (exprs: Seq[Expression]) => ShingleMinMaxExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("url_canonicalize"),
+      new ExpressionInfo(classOf[UrlCanonicalizeExpr].getName, "url_canonicalize"),
+      (exprs: Seq[Expression]) => UrlCanonicalizeExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("url_registrable_domain"),
+      new ExpressionInfo(classOf[RegistrableDomainExpr].getName, "url_registrable_domain"),
+      (exprs: Seq[Expression]) => RegistrableDomainExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("url_host_reversed"),
+      new ExpressionInfo(classOf[ReverseHostExpr].getName, "url_host_reversed"),
+      (exprs: Seq[Expression]) => ReverseHostExpr(exprs.head)))
   }
 }
