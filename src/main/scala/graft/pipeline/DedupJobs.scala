@@ -407,4 +407,115 @@ object DedupJobs {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  // ------------------------------------------------------------------------
+  // Incremental near-dup dedup against a PERSISTED signature index.
+  //
+  // At corpus scale dedup is not a one-shot batch: each crawl snapshot must
+  // be checked against the accumulated corpus, and re-signaturing 100 TB per
+  // snapshot is the cost being avoided (the same build-once/probe-many split
+  // as AnnJobs.buildIndex/probeIndex). The index stores ONLY the banded
+  // signature rows (`bands` rows per doc — tiny next to the text) plus the
+  // per-bucket counts; a probe signatures the NEW snapshot only, equi-joins
+  // it against the index, and verifies candidates with exact Jaccard,
+  // fetching text for the candidate-bounded set of indexed docs from the
+  // corpus table (the corpus store exists anyway; what the index saves is
+  // the full-corpus signature scan and its shuffle, not the bounded verify
+  // reads).
+
+  /** Build once: persist the banded MinHash signature index for `docs`
+    * under `indexPath`:
+    *  - `bands/`        (bi, bh, doc_id) — the banded signature rows;
+    *  - `bucket_sizes/` (bi, bh, n)      — per-bucket row counts, so a
+    *    probe prices the skew cap without re-aggregating the band table;
+    *  - `meta/`         (num_hashes, bands) — probes read the parameters
+    *    from the index, so a mismatched re-signature is impossible.
+    * (In a warehouse deployment `bands/` would be a table bucketed on
+    * (bi, bh) so probe joins sort-merge without re-shuffling the index;
+    * plain parquet can't persist bucketing, so the probe pays one shuffle
+    * of the index side — still signature rows, never text.) */
+  def buildMinhashIndex(docs: DataFrame, indexPath: String,
+                        numHashes: Int = 8, bands: Int = 4): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bandRows(docs, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$indexPath/bands")
+    // aggregate the persisted rows (cheaper than re-running the signature
+    // scan that produced them)
+    spark.read.parquet(s"$indexPath/bands")
+      .groupBy(col("bi"), col("bh")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$indexPath/bucket_sizes")
+    Seq((numHashes, bands)).toDF("num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** Probe: verified near-dup pairs between a NEW snapshot and the indexed
+    * corpus, without re-signaturing the corpus. Returns
+    * (doc_a = indexed doc, doc_b = new doc, jaccard >= threshold).
+    *
+    * Semantics match the batch [[minhashVerifiedPairs]] over
+    * (corpus ∪ newDocs) restricted to cross pairs — in particular the
+    * bucket cap applies to the COMBINED bucket size (index count + new
+    * count), so growing a hot bucket past the cap disables it exactly as
+    * a full re-run would (test-enforced by the differential in
+    * IncrementalDedupSpec). `corpus` supplies text only for the
+    * candidate-bounded verify stage; its doc_ids must be the ones the
+    * index was built from. */
+  def dedupAgainstIndex(spark: SparkSession, indexPath: String,
+                        newDocs: DataFrame, corpus: DataFrame,
+                        bucketCap: Int = 200,
+                        jaccardThreshold: Double = 0.5): DataFrame = {
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val numHashes = meta.getAs[Int]("num_hashes")
+    val bands = meta.getAs[Int]("bands")
+    val idxBands = spark.read.parquet(s"$indexPath/bands")
+    val idxSizes = spark.read.parquet(s"$indexPath/bucket_sizes")
+      .withColumnRenamed("n", "n_idx")
+
+    // Signature the new snapshot only; the band table is consumed by the
+    // size aggregate and the candidate join (persist, release via
+    // releaseCached — same policy as the batch path).
+    val newBand = cache(bandRows(newDocs, numHashes, bands))
+    val newSizes = newBand.groupBy(col("bi"), col("bh"))
+      .agg(count(lit(1)).as("n_new"))
+    // Only buckets the new side touches can form a cross pair; cap on the
+    // combined size so semantics equal the batch run over the union.
+    val keptBuckets = newSizes
+      .join(idxSizes, Seq("bi", "bh"), "left")
+      .filter(coalesce(col("n_idx"), lit(0L)) + col("n_new") <= bucketCap)
+      .select(col("bi"), col("bh"))
+    val cand = cache(
+      idxBands.select(col("bi"), col("bh"), col("doc_id").as("doc_a"))
+        .join(newBand.join(keptBuckets, Seq("bi", "bh"))
+          .select(col("bi"), col("bh"), col("doc_id").as("doc_b")),
+          Seq("bi", "bh"))
+        .select(col("doc_a"), col("doc_b")).distinct())
+
+    // Exact-Jaccard verify, candidate-bounded on BOTH sides: indexed docs'
+    // tokens come from the corpus table, new docs' tokens from the
+    // snapshot — only docs in a candidate pair are ever tokenized here.
+    val tokA = cache(corpus
+      .join(cand.select(col("doc_a").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok")))
+    val tokB = cache(newDocs
+      .join(cand.select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok")))
+    val sizesA = tokA.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+    val sizesB = tokB.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+
+    val inter = cand
+      .join(tokA.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(tokB.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter"))
+    inter
+      .join(sizesA.select(col("doc_id").as("doc_a"), col("na")), Seq("doc_a"))
+      .join(sizesB.select(col("doc_id").as("doc_b"), col("nb")), Seq("doc_b"))
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
 }
