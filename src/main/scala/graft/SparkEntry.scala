@@ -733,6 +733,43 @@ object SparkEntry {
         .orderBy(col("site"))
     }),
 
+    // Robots-exclusion gating (RFC 9309) — the crawl-pipeline step between
+    // URL canonicalization and fetch/extraction. One fixed robots.txt
+    // exercising group selection (specific agent vs *), longest-match,
+    // allow-on-tie, `*` wildcards, `$` anchors, and Crawl-delay; six path
+    // variants land on each branch of the decision. The native
+    // robots_allowed/robots_crawl_delay expressions run in whole-stage
+    // codegen; the oracle states each variant's RFC-mandated verdict
+    // literally. ----------------------------------------------------------
+    "q_robots_filter" -> ((s, dir) => {
+      graft.plans.RobotsExprs.register(s)
+      import graft.plans.RobotsExprs.{robots_allowed, robots_crawl_delay}
+      val docs = t(s, dir, "documents")
+      val robots = lit(Seq(
+        "User-agent: graftbot",
+        "Disallow: /private/",
+        "Allow: /private/pub*",
+        "Disallow: /*.pdf$",
+        "Crawl-delay: 2.5",
+        "",
+        "User-agent: *",
+        "Disallow: /").mkString("\n"))
+      val v = col("doc_id") % 6
+      val path = when(v === 0, lit("/public/index.html"))
+        .when(v === 1, lit("/private/data"))
+        .when(v === 2, lit("/private/pubfile"))
+        .when(v === 3, lit("/docs/file.pdf"))
+        .when(v === 4, lit("/docs/file.pdf?x=1"))
+        .otherwise(lit("/private/pub.pdf"))
+      docs.select(col("doc_id"), path.as("path"))
+        .select(col("doc_id"), col("path"),
+          robots_allowed(robots, lit("graftbot"), col("path")).as("allowed"),
+          robots_allowed(robots, lit("otherbot"), col("path")).as("allowed_other"),
+          robots_crawl_delay(robots, lit("graftbot")).as("crawl_delay"),
+          robots_crawl_delay(robots, lit("otherbot")).as("crawl_delay_other"))
+        .orderBy(col("doc_id"))
+    }),
+
     // HTML main-content extraction (north rule: boilerplate strip via
     // link/text-density heuristics). Corpus docs are wrapped in the FIXED
     // chrome of HtmlJob.chromePage, so the expected outcome of the
@@ -1670,6 +1707,28 @@ object SparkEntry {
         |    WHEN 2 THEN 'org.' || source || '-site.files'
         |    ELSE 'hk.com.' || source || '-site'
         |  END AS host_rev
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Each variant's RFC 9309 verdict, stated literally: 0 no-rule-matches,
+    // 1 Disallow /private/ (longest match), 2 Allow /private/pub* out-longs
+    // the Disallow, 3 the anchored /*.pdf$ fires, 4 the anchor rejects a
+    // query-string tail, 5 the 13-octet Allow out-longs the 7-octet
+    // anchored Disallow. otherbot falls to the `*` group (Disallow: /) and
+    // has no Crawl-delay.
+    "q_robots_filter" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 6 AS INTEGER)
+        |    WHEN 0 THEN '/public/index.html'
+        |    WHEN 1 THEN '/private/data'
+        |    WHEN 2 THEN '/private/pubfile'
+        |    WHEN 3 THEN '/docs/file.pdf'
+        |    WHEN 4 THEN '/docs/file.pdf?x=1'
+        |    ELSE '/private/pub.pdf'
+        |  END AS path,
+        |  CAST(doc_id % 6 AS INTEGER) IN (0, 2, 4, 5) AS allowed,
+        |  FALSE AS allowed_other,
+        |  CAST(2.5 AS DOUBLE) AS crawl_delay,
+        |  CAST(NULL AS DOUBLE) AS crawl_delay_other
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Site stats: group by the expected eTLD+1 of each variant's host.

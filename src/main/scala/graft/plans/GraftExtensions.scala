@@ -44,5 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("url_host_reversed"),
       new ExpressionInfo(classOf[ReverseHostExpr].getName, "url_host_reversed"),
       (exprs: Seq[Expression]) => ReverseHostExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("robots_allowed"),
+      new ExpressionInfo(classOf[RobotsAllowedExpr].getName, "robots_allowed"),
+      (exprs: Seq[Expression]) => RobotsAllowedExpr(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("robots_crawl_delay"),
+      new ExpressionInfo(classOf[RobotsCrawlDelayExpr].getName, "robots_crawl_delay"),
+      (exprs: Seq[Expression]) => RobotsCrawlDelayExpr(exprs(0), exprs(1))))
   }
 }
