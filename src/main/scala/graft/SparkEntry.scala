@@ -996,6 +996,76 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pack_id"))
     }),
 
+    // Web link graph — outlink extraction over synthetic pages with a
+    // known link structure (GraphJobs.linkedPage): the real anchor
+    // scanner + RFC 3986 §5.2 resolver + canonicalizer run end-to-end
+    // (relative <base href>, dot-segment merges, entity-encoded queries,
+    // protocol-relative refs, nofollow, scheme filtering); the oracle
+    // states each kept link literally. -------------------------------------
+    "q_link_extract" -> ((s, dir) => {
+      val pages = graft.pipeline.GraphJobs.wrapCorpusLinked(s, t(s, dir, "documents"))
+      graft.pipeline.GraphJobs.extractLinks(s, pages).toDF()
+        .select(col("doc_id"), col("pos"), col("dst_url"), col("anchor"),
+          col("nofollow"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // Host-level web graph: eTLD+1 aggregation of the extracted links
+    // (follow links only, self-site edges dropped) — the edge table link
+    // analysis runs on. --------------------------------------------------
+    "q_host_graph" -> ((s, dir) => {
+      val pages = graft.pipeline.GraphJobs.wrapCorpusLinked(s, t(s, dir, "documents"))
+      val links = graft.pipeline.GraphJobs.extractLinks(s, pages).toDF()
+      graft.pipeline.GraphJobs.hostGraph(links)
+        .orderBy(col("src_site"), col("dst_site"))
+    }),
+
+    // PageRank (Brin & Page 1998) over the host graph: 4 damped
+    // iterations with dangling-mass redistribution, d = 0.85. Ranks are
+    // reported in parts-per-million (round(rank·1e6)) so the oracle —
+    // which replays the exact iteration arithmetic as unrolled SQL — is
+    // robust to FP summation-order noise far below the ppm scale. --------
+    "q_pagerank" -> ((s, dir) => {
+      val pages = graft.pipeline.GraphJobs.wrapCorpusLinked(s, t(s, dir, "documents"))
+      val links = graft.pipeline.GraphJobs.extractLinks(s, pages).toDF()
+      val edges = graft.pipeline.GraphJobs.hostGraph(links)
+        .select(col("src_site").as("src"), col("dst_site").as("dst"), col("weight"))
+      graft.pipeline.GraphJobs.pageRank(edges, 4, 0.85)
+        .select(col("site"),
+          round(col("rank") * lit(1000000L)).cast("long").as("rank_ppm"))
+        .orderBy(col("site"))
+    }),
+
+    // Anchor-text aggregation: top-2 anchor strings per destination site
+    // (count desc, text asc) — the anchor corpus operator. ---------------
+    "q_anchor_stats" -> ((s, dir) => {
+      val pages = graft.pipeline.GraphJobs.wrapCorpusLinked(s, t(s, dir, "documents"))
+      val links = graft.pipeline.GraphJobs.extractLinks(s, pages).toDF()
+      graft.pipeline.GraphJobs.anchorTopK(links, 2)
+        .select(col("dst_site"), col("anchor"), col("n"), col("rk"))
+        .orderBy(col("dst_site"), col("rk"))
+    }),
+
+    // CCNet-style line-level dedup: corpus docs are wrapped with known
+    // boilerplate lines (fixed banners + a per-source line); the engine
+    // discovers and strips every line whose normalized form appears in
+    // >= 5 distinct docs, and the oracle replays the same discovery in
+    // SQL (split -> normalize -> distinct-doc count -> filter ->
+    // order-preserving reassembly). --------------------------------------
+    "q_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val wrapped = docs.select(col("doc_id"),
+        concat_ws("\n",
+          lit("(c) Graft Portal - all rights reserved."),
+          coalesce(col("text"), lit("")),
+          lit("Subscribe to our newsletter!"),
+          concat(lit("From the "), col("source"), lit(" newsroom"))).as("text"))
+      graft.pipeline.LineDedup.dedupLines(wrapped, 5)
+        .select(col("doc_id"), col("n_kept"), col("n_removed"),
+          md5(col("text_clean")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Extraction engine (rows-only check — the golden suite is the real
     // correctness gate for these; see GoldenExtractionSpec) ----------------
     "q_extract_records" -> ((s, dir) => {
@@ -1743,6 +1813,162 @@ object SparkEntry {
         |  count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY site""".stripMargin,
+
+    // Each kept link of GraphJobs.linkedPage stated literally: the nav
+    // pair, the dot-segment merge, the shouting-case absolute ref, the
+    // protocol-relative partner, the nofollow ad, and the fragment-only
+    // ref resolving to the effective <base>. mailto:/javascript: refs and
+    // the <script> decoy never appear.
+    "q_link_extract" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang, CAST(doc_id % 3 AS INTEGER) AS k,
+        |         doc_id % 2 = 0 AS ev
+        |  FROM documents)
+        |SELECT doc_id, pos, dst_url, anchor, nofollow FROM (
+        |  SELECT doc_id, 0 AS pos,
+        |         'https://www.' || source || '-site.com/home' AS dst_url,
+        |         'Home' AS anchor, FALSE AS nofollow FROM d
+        |  UNION ALL SELECT doc_id, 1,
+        |    'https://www.' || source || '-site.com/' || lang || '/sub/about.html',
+        |    'About us', FALSE FROM d
+        |  UNION ALL SELECT doc_id, 2,
+        |    'https://www.' || source || '-site.com/' || lang || '/up/page?a=1&b=2',
+        |    'Up page', FALSE FROM d
+        |  UNION ALL SELECT doc_id, 3,
+        |    'https://cdn.' || source || '-site.co.uk/' || lang || '/?q=1',
+        |    'Mirror', FALSE FROM d
+        |  UNION ALL SELECT doc_id, 4,
+        |    'https://partner-' || k || '.example/x/',
+        |    CASE WHEN ev THEN 'Visit partner ' ELSE 'Partner ' END || k,
+        |    FALSE FROM d
+        |  UNION ALL SELECT doc_id, 5,
+        |    'https://ads.' || source || '-net.com/click?id=' || doc_id,
+        |    'Sponsored', TRUE FROM d
+        |  UNION ALL SELECT doc_id, 6,
+        |    'https://www.' || source || '-site.com/' || lang || '/sub/',
+        |    'Top', FALSE FROM d
+        |) ORDER BY doc_id, pos""".stripMargin,
+
+    // Host graph: per doc, one follow edge to the co.uk mirror and one to
+    // partner-(doc_id%3); self-site and nofollow edges never materialize.
+    "q_host_graph" ->
+      """SELECT src_site, dst_site, count(*) AS weight FROM (
+        |  SELECT source || '-site.com' AS src_site,
+        |         source || '-site.co.uk' AS dst_site FROM documents
+        |  UNION ALL
+        |  SELECT source || '-site.com',
+        |         'partner-' || CAST(doc_id % 3 AS INTEGER) || '.example'
+        |  FROM documents
+        |) GROUP BY 1, 2 ORDER BY src_site, dst_site""".stripMargin,
+
+    // PageRank replayed exactly: the same 4 damped iterations with
+    // dangling-mass redistribution, unrolled as chained CTEs (standard SQL
+    // forbids aggregation in a recursive term). All arithmetic is forced
+    // to DOUBLE in the same operation order as the engine ((1-d)/n, then
+    // d*(contrib+dm/n)), so engine and oracle agree to the last few ulps;
+    // the ppm rounding absorbs the summation-order residue.
+    "q_pagerank" ->
+      """WITH edges AS (
+        |  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+        |    SELECT source || '-site.com' AS src,
+        |           source || '-site.co.uk' AS dst FROM documents
+        |    UNION ALL
+        |    SELECT source || '-site.com',
+        |           'partner-' || CAST(doc_id % 3 AS INTEGER) || '.example'
+        |    FROM documents
+        |  ) GROUP BY 1, 2),
+        |nodes AS (SELECT src AS site FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+        |shares AS (
+        |  SELECT e.src, e.dst, e.w / o.ow AS share
+        |  FROM edges e JOIN outw o USING (src)),
+        |r0 AS (SELECT site, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes, nn),
+        |d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM r0
+        |       WHERE site NOT IN (SELECT src FROM edges)),
+        |c1 AS (SELECT s.dst AS site, sum(s.share * r0.r) AS c
+        |       FROM shares s JOIN r0 ON s.src = r0.site GROUP BY 1),
+        |r1 AS (SELECT nodes.site,
+        |         (1 - CAST(0.85 AS DOUBLE)) / nn.n
+        |           + CAST(0.85 AS DOUBLE) * (coalesce(c1.c, 0) + d1.dm / nn.n) AS r
+        |       FROM nodes LEFT JOIN c1 USING (site), nn, d1),
+        |d2 AS (SELECT coalesce(sum(r), 0) AS dm FROM r1
+        |       WHERE site NOT IN (SELECT src FROM edges)),
+        |c2 AS (SELECT s.dst AS site, sum(s.share * r1.r) AS c
+        |       FROM shares s JOIN r1 ON s.src = r1.site GROUP BY 1),
+        |r2 AS (SELECT nodes.site,
+        |         (1 - CAST(0.85 AS DOUBLE)) / nn.n
+        |           + CAST(0.85 AS DOUBLE) * (coalesce(c2.c, 0) + d2.dm / nn.n) AS r
+        |       FROM nodes LEFT JOIN c2 USING (site), nn, d2),
+        |d3 AS (SELECT coalesce(sum(r), 0) AS dm FROM r2
+        |       WHERE site NOT IN (SELECT src FROM edges)),
+        |c3 AS (SELECT s.dst AS site, sum(s.share * r2.r) AS c
+        |       FROM shares s JOIN r2 ON s.src = r2.site GROUP BY 1),
+        |r3 AS (SELECT nodes.site,
+        |         (1 - CAST(0.85 AS DOUBLE)) / nn.n
+        |           + CAST(0.85 AS DOUBLE) * (coalesce(c3.c, 0) + d3.dm / nn.n) AS r
+        |       FROM nodes LEFT JOIN c3 USING (site), nn, d3),
+        |d4 AS (SELECT coalesce(sum(r), 0) AS dm FROM r3
+        |       WHERE site NOT IN (SELECT src FROM edges)),
+        |c4 AS (SELECT s.dst AS site, sum(s.share * r3.r) AS c
+        |       FROM shares s JOIN r3 ON s.src = r3.site GROUP BY 1),
+        |r4 AS (SELECT nodes.site,
+        |         (1 - CAST(0.85 AS DOUBLE)) / nn.n
+        |           + CAST(0.85 AS DOUBLE) * (coalesce(c4.c, 0) + d4.dm / nn.n) AS r
+        |       FROM nodes LEFT JOIN c4 USING (site), nn, d4)
+        |SELECT site, CAST(round(r * 1000000) AS BIGINT) AS rank_ppm
+        |FROM r4 ORDER BY site""".stripMargin,
+
+    // Anchor corpus: every link's (dst_site, anchor) including nofollow,
+    // top-2 per site by (count desc, text asc).
+    "q_anchor_stats" ->
+      """WITH links AS (
+        |  SELECT source || '-site.com' AS dst_site, 'Home' AS anchor FROM documents
+        |  UNION ALL SELECT source || '-site.com', 'About us' FROM documents
+        |  UNION ALL SELECT source || '-site.com', 'Up page' FROM documents
+        |  UNION ALL SELECT source || '-site.com', 'Top' FROM documents
+        |  UNION ALL SELECT source || '-site.co.uk', 'Mirror' FROM documents
+        |  UNION ALL SELECT
+        |    'partner-' || CAST(doc_id % 3 AS INTEGER) || '.example',
+        |    CASE WHEN doc_id % 2 = 0 THEN 'Visit partner ' ELSE 'Partner ' END
+        |      || CAST(doc_id % 3 AS INTEGER)
+        |  FROM documents
+        |  UNION ALL SELECT source || '-net.com', 'Sponsored' FROM documents
+        |),
+        |counted AS (SELECT dst_site, anchor, count(*) AS n FROM links GROUP BY 1, 2),
+        |ranked AS (SELECT dst_site, anchor, n,
+        |  row_number() OVER (PARTITION BY dst_site ORDER BY n DESC, anchor ASC) AS rk
+        |  FROM counted)
+        |SELECT dst_site, anchor, n, rk FROM ranked
+        |WHERE rk <= 2 ORDER BY dst_site, rk""".stripMargin,
+
+    // Line dedup replayed in full: the oracle re-discovers the hot lines
+    // (md5 of lower/ws-collapsed/trimmed line, counted over distinct
+    // docs) and reassembles survivors in original order — not a closed
+    // form, the actual algorithm in SQL.
+    "q_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    '(c) Graft Portal - all rights reserved.' || chr(10) ||
+        |    coalesce(text, '') || chr(10) ||
+        |    'Subscribe to our newsletter!' || chr(10) ||
+        |    'From the ' || source || ' newsroom' AS t2
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |        unnest(range(1, len(string_split(t2, chr(10))) + 1)) AS pos,
+        |        unnest(string_split(t2, chr(10))) AS line FROM d),
+        |k AS (SELECT doc_id, pos, line,
+        |        md5(lower(trim(regexp_replace(line, '\s+', ' ', 'g')))) AS key
+        |      FROM l),
+        |hot AS (SELECT key FROM (
+        |          SELECT key, count(DISTINCT doc_id) AS c FROM k GROUP BY 1)
+        |        WHERE c >= 5)
+        |SELECT doc_id,
+        |  count(*) FILTER (WHERE key NOT IN (SELECT key FROM hot)) AS n_kept,
+        |  count(*) FILTER (WHERE key IN (SELECT key FROM hot)) AS n_removed,
+        |  md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |      FILTER (WHERE key NOT IN (SELECT key FROM hot)), '')) AS clean_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // HTML extraction: the chrome is fixed (HtmlJob.chromePage), so the
     // WSDM-2010 classifier outcome reduces to the 17-word rule — the

@@ -221,7 +221,7 @@ object HtmlContent {
 
   /** Decode one entity starting at `html(i) == '&'`; returns (text, nextIndex).
     * Unknown or unterminated entities pass through literally. */
-  private def decodeEntity(html: String, i: Int): (String, Int) = {
+  private[graft] def decodeEntity(html: String, i: Int): (String, Int) = {
     val n = html.length
     val semi = html.indexOf(';', i + 1)
     if (semi < 0 || semi - i > 10) return ("&", i + 1)
@@ -257,7 +257,7 @@ object HtmlContent {
   private def isAsciiWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  private def normalizeWs(s: String): String = {
+  private[graft] def normalizeWs(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var pendingSpace = false
     var i = 0

@@ -92,6 +92,121 @@ object UrlOps {
     out.toString
   }
 
+  /** Split a URI reference into (scheme, authority, path, query) per
+    * RFC 3986 appendix B's component grammar, manually (no regex —
+    * untrusted crawl input). The fragment is parsed past and dropped.
+    * `scheme`/`authority`/`query` are null when absent; an empty
+    * authority (`scheme:///p`) is the empty string, which RFC 3986 §3.2
+    * permits and distinguishes from "no authority". */
+  private def splitRef(s: String): (String, String, String, String) = {
+    val n = s.length
+    var p = 0
+    // scheme = ALPHA *( ALPHA / DIGIT / "+" / "-" / "." ) ":"
+    var scheme: String = null
+    if (n > 0 && Character.isLetter(s.charAt(0))) {
+      var i = 1
+      while (i < n && {
+        val c = s.charAt(i)
+        Character.isLetterOrDigit(c) || c == '+' || c == '-' || c == '.'
+      }) i += 1
+      if (i < n && s.charAt(i) == ':') { scheme = s.substring(0, i).toLowerCase; p = i + 1 }
+    }
+    var authority: String = null
+    if (p + 1 < n && s.charAt(p) == '/' && s.charAt(p + 1) == '/') {
+      var e = p + 2
+      while (e < n && { val c = s.charAt(e); c != '/' && c != '?' && c != '#' }) e += 1
+      authority = s.substring(p + 2, e)
+      p = e
+    }
+    var pathEnd = p
+    while (pathEnd < n && { val c = s.charAt(pathEnd); c != '?' && c != '#' }) pathEnd += 1
+    val path = s.substring(p, pathEnd)
+    p = pathEnd
+    var query: String = null
+    if (p < n && s.charAt(p) == '?') {
+      var qEnd = p + 1
+      while (qEnd < n && s.charAt(qEnd) != '#') qEnd += 1
+      query = s.substring(p + 1, qEnd)
+    }
+    (scheme, authority, path, query)
+  }
+
+  /** RFC 3986 §5.2.3 path merge. */
+  private def mergePaths(baseAuthority: String, basePath: String, refPath: String): String =
+    if (baseAuthority != null && basePath.isEmpty) "/" + refPath
+    else {
+      val cut = basePath.lastIndexOf('/')
+      if (cut < 0) refPath else basePath.substring(0, cut + 1) + refPath
+    }
+
+  /** Resolve a URI reference against a base URI — RFC 3986 §5.2.2's
+    * strict transform-references algorithm, recomposed per §5.3 with the
+    * fragment dropped (crawl keys never carry fragments). Total on
+    * untrusted input:
+    *
+    *  - a `ref` that carries its own scheme is returned on its own terms
+    *    (so `mailto:`/`javascript:` pass through for the CALLER's scheme
+    *    filter to drop);
+    *  - a relative `ref` against a base that is not a hierarchical URI
+    *    (no scheme or no authority) resolves to null — "no link";
+    *  - never throws.
+    *
+    * The result is NOT canonicalized beyond the dot-segment removal the
+    * algorithm itself mandates; feed it to [[canonicalize]] for key use. */
+  def resolve(base: String, ref: String): String = {
+    if (ref == null) return null
+    val r = ref.trim
+    val (rScheme, rAuth, rPath, rQuery) = splitRef(r)
+    if (rScheme != null && rAuth != null) {
+      // ref is itself absolute-with-authority: recompose (drops fragment)
+      return recompose(rScheme, rAuth, removeDotSegments(rPath), rQuery)
+    }
+    if (rScheme != null) return r // opaque (mailto:, data:, javascript:)
+    if (base == null) return null
+    val b = base.trim
+    val (bScheme, bAuth, bPath, bQuery) = splitRef(b)
+    if (bScheme == null || bAuth == null) return null // base not hierarchical
+    if (rAuth != null)
+      return recompose(bScheme, rAuth, removeDotSegments(rPath), rQuery)
+    if (rPath.isEmpty) {
+      val q = if (rQuery != null) rQuery else bQuery
+      return recompose(bScheme, bAuth, bPath, q)
+    }
+    val merged =
+      if (rPath.charAt(0) == '/') rPath
+      else mergePaths(bAuth, bPath, rPath)
+    recompose(bScheme, bAuth, removeDotSegments(merged), rQuery)
+  }
+
+  /** RFC 3986 §5.3 component recomposition (authority form, no fragment). */
+  private def recompose(scheme: String, authority: String, path: String,
+      query: String): String = {
+    val out = new java.lang.StringBuilder(
+      scheme.length + authority.length + path.length + 8)
+    out.append(scheme).append("://").append(authority).append(path)
+    if (query != null) out.append('?').append(query)
+    out.toString
+  }
+
+  /** Host of a hierarchical `scheme://` URL (userinfo and port stripped,
+    * lowercased; bracket form kept for IPv6 literals); null when the
+    * string is not a hierarchical URL. */
+  def hostOf(url: String): String = {
+    if (url == null) return null
+    val (scheme, auth, _, _) = splitRef(url.trim)
+    if (scheme == null || auth == null || auth.isEmpty) return null
+    val hostPort = auth.substring(auth.lastIndexOf('@') + 1)
+    val host =
+      if (hostPort.startsWith("[")) {
+        val rb = hostPort.indexOf(']')
+        if (rb >= 0) hostPort.substring(0, rb + 1) else hostPort
+      } else {
+        val colon = hostPort.lastIndexOf(':')
+        if (colon >= 0) hostPort.substring(0, colon) else hostPort
+      }
+    host.toLowerCase
+  }
+
   /** Query-parameter names a crawl key should not depend on. */
   private def isTrackingParam(name: String): Boolean = {
     val n = name.toLowerCase

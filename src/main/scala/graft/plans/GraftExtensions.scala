@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ReverseHostExpr].getName, "url_host_reversed"),
       (exprs: Seq[Expression]) => ReverseHostExpr(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("url_host"),
+      new ExpressionInfo(classOf[UrlHostExpr].getName, "url_host"),
+      (exprs: Seq[Expression]) => UrlHostExpr(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("robots_allowed"),
       new ExpressionInfo(classOf[RobotsAllowedExpr].getName, "robots_allowed"),
       (exprs: Seq[Expression]) => RobotsAllowedExpr(exprs(0), exprs(1), exprs(2))))

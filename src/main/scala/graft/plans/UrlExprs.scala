@@ -57,6 +57,17 @@ case class ReverseHostExpr(child: Expression) extends UrlStringExpr {
     copy(child = newChild)
 }
 
+/** `url_host(url)` — host of a hierarchical URL (null if not one). */
+case class UrlHostExpr(child: Expression) extends UrlStringExpr {
+  override def prettyName: String = "url_host"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlExprs.hostUtf8(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.UrlExprs.hostUtf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): UrlHostExpr =
+    copy(child = newChild)
+}
+
 object UrlExprs {
   /** Static entry points referenced from generated code. */
   def canonUtf8(s: UTF8String): UTF8String =
@@ -65,8 +76,12 @@ object UrlExprs {
     UTF8String.fromString(UrlOps.registrableDomain(s.toString))
   def reverseUtf8(s: UTF8String): UTF8String =
     UTF8String.fromString(UrlOps.reverseHost(s.toString))
+  def hostUtf8(s: UTF8String): UTF8String = {
+    val h = UrlOps.hostOf(s.toString)
+    if (h == null) null else UTF8String.fromString(h)
+  }
 
-  /** Register all three for SQL/Column use in this session. */
+  /** Register all four for SQL/Column use in this session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
@@ -75,10 +90,13 @@ object UrlExprs {
       "url_registrable_domain", exprs => RegistrableDomainExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "url_host_reversed", exprs => ReverseHostExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "url_host", exprs => UrlHostExpr(exprs.head), "built-in")
   }
 
   /** Column-API forms (require [[register]] on the active session). */
   def url_canonicalize(c: Column): Column = call_function("url_canonicalize", c)
   def url_registrable_domain(c: Column): Column = call_function("url_registrable_domain", c)
   def url_host_reversed(c: Column): Column = call_function("url_host_reversed", c)
+  def url_host(c: Column): Column = call_function("url_host", c)
 }
