@@ -56,7 +56,9 @@ object Bench {
       "q_chunks", "q_chunk_pack", "q_quality_gopher", "q_quality_repetition",
       "q_decontaminate", "q_training_pipeline", "q_training_pipeline_neardup",
       "q_warc_roundtrip", "q_url_canonicalize", "q_url_site_stats",
-      "q_robots_filter", "q_dedup_incremental")
+      "q_robots_filter", "q_dedup_incremental",
+      "q_link_extract", "q_host_graph", "q_pagerank", "q_anchor_stats",
+      "q_line_dedup")
 
     // JIT/codegen warm pass at the smallest SF (same plan shapes → same
     // generated classes) so the timed runs measure steady state, not

@@ -770,6 +770,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Redirect-chain resolution (RFC 9110 3xx semantics) — mapping every
+    // fetched URL to its landing page. A deterministic synthetic fetch log
+    // (direct / 1-hop relative-Location / 2-hop with 404 landing /
+    // dangling target / 2-node loop, keyed on doc_id % 5) is walked by the
+    // iterative equi-join resolver with a 5-hop budget; the oracle replays
+    // the walk as a recursive CTE over the same log stated literally
+    // (including the RFC 3986-resolved form of the relative Locations). --
+    "q_redirect_resolve" -> ((s, dir) => {
+      val log = graft.pipeline.RedirectJobs.syntheticFetchLog(s, t(s, dir, "documents"))
+      graft.pipeline.RedirectJobs.resolveChains(s, log, maxHops = 5)
+        .orderBy(col("url"))
+    }),
+
     // HTML main-content extraction (north rule: boilerplate strip via
     // link/text-density heuristics). Corpus docs are wrapped in the FIXED
     // chrome of HtmlJob.chromePage, so the expected outcome of the
@@ -1800,6 +1813,65 @@ object SparkEntry {
         |  CAST(2.5 AS DOUBLE) AS crawl_delay,
         |  CAST(NULL AS DOUBLE) AS crawl_delay_other
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Redirect chains: the synthetic fetch log restated with its
+    // Locations already RFC 3986-resolved, then the hop walk replayed as
+    // a recursive CTE capped at the same 5-hop budget; the deepest row
+    // per URL classifies exactly as the Spark resolver does.
+    "q_redirect_resolve" ->
+      """WITH RECURSIVE fetch_log AS (
+        |  SELECT 'https://www.' || source || '-site.com/p' || doc_id AS url,
+        |    CASE CAST(doc_id % 5 AS INTEGER)
+        |      WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 302
+        |      WHEN 3 THEN 308 ELSE 301 END AS status,
+        |    CASE CAST(doc_id % 5 AS INTEGER)
+        |      WHEN 1 THEN 'https://www.' || source || '-site.com/r/' || doc_id
+        |      WHEN 2 THEN 'https://www.' || source || '-site.com/hop-' || doc_id
+        |      WHEN 3 THEN 'https://www.' || source || '-site.com/missing' || doc_id
+        |      WHEN 4 THEN 'https://www.' || source || '-site.com/loopA' || doc_id
+        |    END AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://www.' || source || '-site.com/r/' || doc_id, 200, NULL
+        |  FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT 'https://www.' || source || '-site.com/hop-' || doc_id, 301,
+        |    'https://www.' || source || '-site.com/end' || doc_id
+        |  FROM documents WHERE doc_id % 5 = 2
+        |  UNION ALL
+        |  SELECT 'https://www.' || source || '-site.com/end' || doc_id, 404, NULL
+        |  FROM documents WHERE doc_id % 5 = 2
+        |  UNION ALL
+        |  SELECT 'https://www.' || source || '-site.com/loopA' || doc_id, 302,
+        |    'https://www.' || source || '-site.com/loopB' || doc_id
+        |  FROM documents WHERE doc_id % 5 = 4
+        |  UNION ALL
+        |  SELECT 'https://www.' || source || '-site.com/loopB' || doc_id, 301,
+        |    'https://www.' || source || '-site.com/loopA' || doc_id
+        |  FROM documents WHERE doc_id % 5 = 4
+        |),
+        |walk(url, cur, n_hops) AS (
+        |  SELECT url, url, 0 FROM fetch_log
+        |  UNION ALL
+        |  SELECT w.url, f.dst, w.n_hops + 1
+        |  FROM walk w JOIN fetch_log f ON w.cur = f.url
+        |  WHERE f.dst IS NOT NULL AND w.n_hops < 5
+        |),
+        |deepest AS (
+        |  SELECT url, cur, n_hops,
+        |    ROW_NUMBER() OVER (PARTITION BY url ORDER BY n_hops DESC) AS rn
+        |  FROM walk
+        |)
+        |SELECT d.url,
+        |  CASE WHEN f.dst IS NOT NULL THEN 'too_many'
+        |    WHEN f.status IS NOT NULL THEN 'fetched'
+        |    ELSE 'unfetched' END AS resolution,
+        |  CASE WHEN f.dst IS NOT NULL THEN NULL ELSE d.cur END AS final_url,
+        |  CASE WHEN f.dst IS NULL THEN f.status END AS final_status,
+        |  d.n_hops
+        |FROM deepest d LEFT JOIN fetch_log f ON d.cur = f.url
+        |WHERE d.rn = 1
+        |ORDER BY d.url""".stripMargin,
 
     // Site stats: group by the expected eTLD+1 of each variant's host.
     "q_url_site_stats" ->
