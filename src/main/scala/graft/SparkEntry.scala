@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.extract.ExtractAll
-import graft.pipeline.{CorpusGen, ExtractJob, ReportJob}
+import graft.pipeline.{CorpusGen, ExtractJob, PiiOps, ReportJob}
 
 /** Driver contract (see SURVEY.md §7 and the per-operator inventory §2).
   *
@@ -1079,6 +1079,88 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Charset sniff + transcode round trip: each doc's text is garnished
+    // (so the wide/1252 variants contain non-ASCII) and ENCODED in an
+    // encoding chosen by doc_id % 4; the engine must detect the encoding
+    // from the bytes alone and decode back to the exact original string.
+    // The oracle derives the expected label from the doc_id arithmetic
+    // and the original text in SQL — decode(encode(x)) == x via md5. ----
+    "q_charset_sniff" -> ((s, dir) => {
+      graft.plans.CharsetExprs.register(s)
+      val docs = t(s, dir, "documents")
+      val orig = when(col("doc_id") % 4 === 0, concat(col("text"), lit(" — № café ™")))
+        .when(col("doc_id") % 4 === 1, concat(col("text"), lit(" • wide text")))
+        .when(col("doc_id") % 4 === 2, concat(col("text"), lit(" café ± naïve")))
+        .otherwise(col("text"))
+      val label = element_at(
+        array(lit("utf-8"), lit("utf-16le"), lit("windows-1252"), lit("ascii")),
+        (col("doc_id") % 4 + 1).cast("int"))
+      docs.select(col("doc_id"),
+          call_function("charset_encode", orig, label).as("bytes"))
+        .select(col("doc_id"),
+          call_function("charset_sniff", col("bytes")).as("charset"),
+          md5(call_function("charset_decode", col("bytes"))).as("md5_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Mojibake repair: mangle each garnished doc the canonical way (its
+    // UTF-8 bytes re-decoded as windows-1252 — "café" → "cafÃ©"), then
+    // repair with fix_mojibake; the oracle pins fixed == original (md5
+    // from SQL) and that exactly the non-ASCII-garnished docs changed. --
+    "q_mojibake_fix" -> ((s, dir) => {
+      graft.plans.CharsetExprs.register(s)
+      val docs = t(s, dir, "documents")
+      val orig = when(col("doc_id") % 2 === 0, concat(col("text"), lit(" — № café ™")))
+        .otherwise(col("text"))
+      val mangled = call_function("charset_decode_as",
+        call_function("charset_encode", orig, lit("utf-8")), lit("windows-1252"))
+      docs.select(col("doc_id"), orig.as("orig"), mangled.as("mangled"))
+        .select(col("doc_id"),
+          (col("mangled") =!= col("orig")).as("was_mangled"),
+          md5(call_function("fix_mojibake", col("mangled"))).as("md5_fixed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scrub: every doc gets an injected email; every 2nd a NANP
+    // phone; every 3rd an IPv4; cards rotate {valid, Luhn-invalid,
+    // grouped valid, none} by doc_id % 4. Counts per class ride Spark
+    // builtins (regexp_extract_all + luhn_check); the redaction md5
+    // pins the typed-placeholder rewrite; the oracle replays the same
+    // patterns, the Luhn checksum, and the same replace chain. ---------
+    "q_pii_stats" -> ((s, dir) => {
+      graft.plans.PiiExprs.register(s)
+      val docs = t(s, dir, "documents")
+      val cardLit = element_at(array(
+        lit("4111111111111111"), lit("4111111111111112"),
+        lit("5500 0055 5555 5559"), lit(null).cast("string")),
+        (col("doc_id") % 4 + 1).cast("int"))
+      val pii = concat_ws(" ",
+        concat(lit("reach user"), col("doc_id").cast("string"), lit("@example.com")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(null).cast("string")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string")))
+          .otherwise(lit(null).cast("string")),
+        cardLit)
+      val wrapped = docs.select(col("doc_id"),
+        concat(col("text"), lit("\n"), pii).as("t2"))
+      val cards = regexp_extract_all(col("t2"), lit(PiiOps.CardRe), lit(0))
+      wrapped.select(col("doc_id"),
+          size(regexp_extract_all(col("t2"), lit(PiiOps.EmailRe), lit(0))).cast("long").as("n_email"),
+          size(regexp_extract_all(col("t2"), lit(PiiOps.PhoneRe), lit(0))).cast("long").as("n_phone"),
+          size(regexp_extract_all(col("t2"), lit(PiiOps.Ipv4Re), lit(0))).cast("long").as("n_ip"),
+          size(cards).cast("long").as("n_card"),
+          size(filter(cards, x =>
+            call_function("luhn_check",
+              regexp_replace(x, lit("[^0-9]"), lit(""))))).cast("long").as("n_card_valid"),
+          md5(call_function("pii_redact", col("t2"))).as("md5_redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Extraction engine (rows-only check — the golden suite is the real
     // correctness gate for these; see GoldenExtractionSpec) ----------------
     "q_extract_records" -> ((s, dir) => {
@@ -2041,6 +2123,73 @@ object SparkEntry {
         |  md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
         |      FILTER (WHERE key NOT IN (SELECT key FROM hot)), '')) AS clean_md5
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Charset round trip: the oracle KNOWS the injected encoding (the
+    // doc_id % 4 rule) and the pre-encode text, so a correct sniffer +
+    // decoder must reproduce both from the bytes alone.
+    "q_charset_sniff" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+        |    WHEN 2 THEN 'windows-1252' ELSE 'ascii' END AS charset,
+        |  md5(CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN text || ' — № café ™'
+        |    WHEN 1 THEN text || ' • wide text'
+        |    WHEN 2 THEN text || ' café ± naïve'
+        |    ELSE text END) AS md5_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mojibake repair: exactly the even docs (non-ASCII garnish) are
+    // mangled by the utf-8-as-1252 decode, and repair must restore the
+    // original text byte-for-byte (md5 computed from SQL).
+    "q_mojibake_fix" ->
+      """SELECT doc_id,
+        |  doc_id % 2 = 0 AS was_mangled,
+        |  md5(CASE WHEN doc_id % 2 = 0 THEN text || ' — № café ™'
+        |           ELSE text END) AS md5_fixed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // PII: the oracle rebuilds the injected wrap, re-runs the SAME four
+    // patterns (interpolated from PiiOps so engine and oracle cannot
+    // drift), replays the ISO/IEC 7812 Luhn checksum over each card
+    // candidate with list lambdas, and reproduces the redaction as the
+    // documented regexp_replace chain.
+    "q_pii_stats" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, text || chr(10) || concat_ws(' ',
+        |    'reach user' || CAST(doc_id AS VARCHAR) || '@example.com',
+        |    CASE WHEN doc_id % 2 = 0 THEN 'call 555-' ||
+        |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'from 10.0.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |      CAST((doc_id * 7) % 256 AS VARCHAR) END,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN '4111111111111111'
+        |      WHEN 1 THEN '4111111111111112'
+        |      WHEN 2 THEN '5500 0055 5555 5559' END) AS t2
+        |  FROM documents),
+        |c AS (SELECT doc_id, t2,
+        |    regexp_extract_all(t2, '${PiiOps.EmailRe}') AS emails,
+        |    regexp_extract_all(t2, '${PiiOps.PhoneRe}') AS phones,
+        |    regexp_extract_all(t2, '${PiiOps.Ipv4Re}') AS ips,
+        |    regexp_extract_all(t2, '${PiiOps.CardRe}') AS cards
+        |  FROM w)
+        |SELECT doc_id,
+        |  len(emails) AS n_email, len(phones) AS n_phone, len(ips) AS n_ip,
+        |  len(cards) AS n_card,
+        |  len(list_filter(list_transform(cards, x -> regexp_replace(x, '[^0-9]', '', 'g')), d ->
+        |    list_sum(list_transform(range(1, length(d) + 1), i ->
+        |      CASE WHEN i % 2 = 1 THEN CAST(substr(reverse(d), i, 1) AS INT)
+        |           WHEN 2 * CAST(substr(reverse(d), i, 1) AS INT) > 9
+        |             THEN 2 * CAST(substr(reverse(d), i, 1) AS INT) - 9
+        |           ELSE 2 * CAST(substr(reverse(d), i, 1) AS INT) END)) % 10 = 0)) AS n_card_valid,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t2,
+        |      '${PiiOps.EmailRe}', '<EMAIL>', 'g'),
+        |      '${PiiOps.CardRe}', '<CARD>', 'g'),
+        |      '${PiiOps.Ipv4Re}', '<IP>', 'g'),
+        |      '${PiiOps.PhoneRe}', '<PHONE>', 'g')) AS md5_redacted
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // HTML extraction: the chrome is fixed (HtmlJob.chromePage), so the
     // WSDM-2010 classifier outcome reduces to the 17-word rule — the

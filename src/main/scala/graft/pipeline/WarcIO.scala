@@ -1,8 +1,7 @@
 package graft.pipeline
 
 import java.io.ByteArrayOutputStream
-import java.nio.ByteBuffer
-import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+import java.nio.charset.StandardCharsets
 import java.util.zip.{GZIPOutputStream, Inflater}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -447,19 +446,18 @@ object WarcIO {
     out.toByteArray
   }
 
-  /** Decode text-typed (`text/...`) payloads with the declared charset (defaulting to
-    * UTF-8); unknown charsets fall back to UTF-8; malformed byte sequences
-    * are replaced, never thrown. Non-text payloads return null. */
+  /** Decode text-typed (`text/...`) payloads through [[CharsetOps]]: the
+    * declared charset is trusted only when the bytes are consistent with
+    * it (a `utf-8` label over invalid UTF-8 — the server lied — falls
+    * back to the byte sniff), a missing label is sniffed (BOM / strict
+    * UTF-8 / windows-1252 fallback), and unknown labels take the WHATWG
+    * windows-1252 fallback. Total — never a thrown task, and no U+FFFD
+    * replacement on the labeled-wrong path a real crawl hits daily.
+    * Non-text payloads return null. */
   private def decodeIfText(mime: String, charset: String,
                            entity: Array[Byte]): String = {
     if (mime == null || !mime.startsWith("text/") || entity == null) return null
-    val cs =
-      try Charset.forName(if (charset == null) "utf-8" else charset)
-      catch { case _: Exception => StandardCharsets.UTF_8 }
-    cs.newDecoder()
-      .onMalformedInput(CodingErrorAction.REPLACE)
-      .onUnmappableCharacter(CodingErrorAction.REPLACE)
-      .decode(ByteBuffer.wrap(entity)).toString
+    CharsetOps.decodeWithHeader(entity, charset)
   }
 }
 

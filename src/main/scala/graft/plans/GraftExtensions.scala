@@ -56,5 +56,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("robots_crawl_delay"),
       new ExpressionInfo(classOf[RobotsCrawlDelayExpr].getName, "robots_crawl_delay"),
       (exprs: Seq[Expression]) => RobotsCrawlDelayExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("charset_sniff"),
+      new ExpressionInfo(classOf[CharsetSniffExpr].getName, "charset_sniff"),
+      (exprs: Seq[Expression]) => CharsetSniffExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("charset_decode"),
+      new ExpressionInfo(classOf[CharsetDecodeExpr].getName, "charset_decode"),
+      (exprs: Seq[Expression]) => CharsetDecodeExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("charset_decode_as"),
+      new ExpressionInfo(classOf[CharsetDecodeAsExpr].getName, "charset_decode_as"),
+      (exprs: Seq[Expression]) => CharsetDecodeAsExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("charset_encode"),
+      new ExpressionInfo(classOf[CharsetEncodeExpr].getName, "charset_encode"),
+      (exprs: Seq[Expression]) => CharsetEncodeExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("fix_mojibake"),
+      new ExpressionInfo(classOf[FixMojibakeExpr].getName, "fix_mojibake"),
+      (exprs: Seq[Expression]) => FixMojibakeExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("pii_redact"),
+      new ExpressionInfo(classOf[PiiRedactExpr].getName, "pii_redact"),
+      (exprs: Seq[Expression]) => PiiRedactExpr(exprs.head)))
   }
 }
