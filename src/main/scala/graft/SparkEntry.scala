@@ -1161,6 +1161,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet-style perplexity bucketing: per-language char-trigram add-1/2
+    // LM trained on the corpus, each doc scored by exact integer-scaled
+    // log-probs, terciled head/middle/tail per language. The oracle
+    // replays train + score + bucket end to end in SQL. ------------------
+    "q_lm_quality" -> ((s, dir) =>
+      graft.pipeline.LmQuality.perplexityBuckets(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // Extraction engine (rows-only check — the golden suite is the real
     // correctness gate for these; see GoldenExtractionSpec) ----------------
     "q_extract_records" -> ((s, dir) => {
@@ -2190,6 +2198,46 @@ object SparkEntry {
         |      '${PiiOps.Ipv4Re}', '<IP>', 'g'),
         |      '${PiiOps.PhoneRe}', '<PHONE>', 'g')) AS md5_redacted
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // LM quality replayed in full: the oracle re-trains the per-language
+    // trigram model (same normalization, same add-1/2 arithmetic, same
+    // integer-scaled log10), re-scores every doc with the unseen floor,
+    // and re-buckets with the same ntile ordering.
+    "q_lm_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+        |  FROM documents),
+        |tr AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, greatest(length(nt) - 2, 0) + 1),
+        |                          i -> substr(nt, i, 3))) AS tri
+        |  FROM d),
+        |cnt AS (SELECT lang, tri, count(*) AS c FROM tr GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(c) AS n_lang, count(*) AS v_lang
+        |        FROM cnt GROUP BY 1),
+        |model AS (
+        |  SELECT cnt.lang, tri,
+        |    CAST(round(log10(CAST(2 * c + 1 AS DOUBLE) /
+        |                     CAST(2 * n_lang + v_lang AS DOUBLE)) * 1e9) AS BIGINT) AS logp_e9
+        |  FROM cnt JOIN tot USING (lang)),
+        |fl AS (
+        |  SELECT lang,
+        |    CAST(round(log10(1.0 / CAST(2 * n_lang + v_lang AS DOUBLE)) * 1e9) AS BIGINT) AS logp0_e9
+        |  FROM tot),
+        |sc AS (
+        |  SELECT doc_id, tr.lang,
+        |    CAST(sum(coalesce(model.logp_e9, fl.logp0_e9)) AS BIGINT) AS sum_logp_e9,
+        |    count(*) AS n_tri
+        |  FROM tr
+        |  LEFT JOIN model ON tr.lang = model.lang AND tr.tri = model.tri
+        |  JOIN fl ON tr.lang = fl.lang
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_tri, sum_logp_e9,
+        |  (['head', 'middle', 'tail'])[ntile(3) OVER (
+        |    PARTITION BY lang
+        |    ORDER BY CAST(sum_logp_e9 AS DOUBLE) / n_tri DESC, doc_id)] AS bucket
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     // HTML extraction: the chrome is fixed (HtmlJob.chromePage), so the
     // WSDM-2010 classifier outcome reduces to the 17-word rule — the
