@@ -59,7 +59,8 @@ object Bench {
       "q_robots_filter", "q_dedup_incremental",
       "q_link_extract", "q_host_graph", "q_pagerank", "q_anchor_stats",
       "q_line_dedup", "q_redirect_resolve",
-      "q_charset_sniff", "q_mojibake_fix", "q_pii_stats", "q_lm_quality")
+      "q_charset_sniff", "q_mojibake_fix", "q_pii_stats", "q_lm_quality",
+      "q_dedup_substr")
 
     // JIT/codegen warm pass at the smallest SF (same plan shapes → same
     // generated classes) so the timed runs measure steady state, not

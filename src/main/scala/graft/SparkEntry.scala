@@ -1169,6 +1169,15 @@ object SparkEntry {
       graft.pipeline.LmQuality.perplexityBuckets(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // Exact-substring dedup (Lee et al. 2022): every 50-char window
+    // occurring verbatim in >= 2 distinct docs is removed from all of
+    // them; the oracle replays window extraction, cross-doc counting,
+    // and the per-char complement mask in SQL. The synthetic corpus has
+    // a natural ~9 % duplicated-window rate, so the op does real work. -
+    "q_dedup_substr" -> ((s, dir) =>
+      graft.pipeline.SubstrDedup.audit(t(s, dir, "documents"), 50)
+        .orderBy(col("doc_id"))),
+
     // Extraction engine (rows-only check — the golden suite is the real
     // correctness gate for these; see GoldenExtractionSpec) ----------------
     "q_extract_records" -> ((s, dir) => {
@@ -2198,6 +2207,29 @@ object SparkEntry {
         |      '${PiiOps.Ipv4Re}', '<IP>', 'g'),
         |      '${PiiOps.PhoneRe}', '<PHONE>', 'g')) AS md5_redacted
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Exact-substring dedup replayed via the per-char mask definition
+    // (provably equivalent to the engine's interval gap walk: both
+    // compute the complement of the union of covered windows).
+    "q_dedup_substr" ->
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |w AS (SELECT doc_id, i AS pos, substr(t, i, 50) AS s
+        |      FROM d, unnest(range(1, greatest(length(t) - 49, 0) + 1)) AS u(i)),
+        |dup AS (SELECT s FROM w GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT doc_id, pos FROM w WHERE s IN (SELECT s FROM dup)),
+        |ch AS (SELECT doc_id, j, substr(t, j, 1) AS c
+        |       FROM d, unnest(range(1, length(t) + 1)) AS v(j)),
+        |keep AS (
+        |  SELECT ch.doc_id, ch.j, ch.c FROM ch
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov
+        |    WHERE cov.doc_id = ch.doc_id AND cov.pos <= ch.j
+        |      AND ch.j < cov.pos + 50))
+        |SELECT d.doc_id,
+        |  coalesce((SELECT count(*) FROM cov WHERE cov.doc_id = d.doc_id), 0) AS n_cov,
+        |  md5(coalesce((SELECT string_agg(c, '' ORDER BY j) FROM keep
+        |                WHERE keep.doc_id = d.doc_id), '')) AS kept_md5,
+        |  coalesce((SELECT count(*) FROM keep WHERE keep.doc_id = d.doc_id), 0) AS n_kept
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // LM quality replayed in full: the oracle re-trains the per-language
     // trigram model (same normalization, same add-1/2 arithmetic, same

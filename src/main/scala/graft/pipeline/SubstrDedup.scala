@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact-substring deduplication — the ExactSubstr operator of Lee et
+  * al., "Deduplicating Training Data Makes Language Models Better"
+  * (ACL 2022): remove every span of text that also appears verbatim in
+  * another document, because repeated passages (license boilerplate,
+  * syndicated paragraphs, templated listings) are memorized
+  * disproportionately by LMs. The paper builds a monolithic suffix
+  * array; this engine implements the same contract distributed, as
+  * stride-1 window hashing + candidate-bounded verification — the same
+  * verify-after-bucket discipline as [[DedupJobs.minhashVerified]].
+  *
+  * Semantics (pinned so the DuckDB oracle replays them exactly):
+  *  - a position `i` (1-based) of doc `d` is COVERED iff the
+  *    `w`-char window starting at `i` occurs verbatim at any position
+  *    of at least 2 DISTINCT documents (cross-document duplication;
+  *    self-repeats within one doc do not count);
+  *  - every char inside any covered window is removed; the output text
+  *    is the concatenation of the surviving chars in original order —
+  *    i.e. the complement of the union of the covered intervals
+  *    `[i, i+w-1]`;
+  *  - docs shorter than `w` have no windows and pass through verbatim.
+  *
+  * Shape at 100 TB (and why each stage is what it is):
+  *  1. window hashing is map-only: per row, `len-w+1` transient
+  *     `(pos:int, xxhash64:long)` pairs — the text itself never leaves
+  *     the scan;
+  *  2. the duplicate-hash count shuffles fixed-width `(hash, doc_id)`
+  *     pairs — O(total chars) rows, the honest cost class of the
+  *     suffix-array construction it replaces, with map-side partials;
+  *  3. hash equality is NOT trusted: matched candidates (bounded by
+  *     the true duplication rate, ~9 % of windows on the synthetic
+  *     corpus) re-extract the actual window text and re-group on it,
+  *     so a 64-bit collision can only ever ADD a candidate that the
+  *     verify stage then discards — results are exact;
+  *  4. interval removal is a per-row O(intervals) gap walk with
+  *     `aggregate()` — codegen'd, no per-char explode, no UDF.
+  */
+object SubstrDedup {
+
+  /** Stride-1 window table `(doc_id, pos, h)` — hashes only. */
+  private def windows(docs: DataFrame, w: Int): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val wins = when(length(t) >= w,
+      transform(sequence(lit(1), length(t) - (w - 1)),
+        i => struct(i.as("pos"), xxhash64(substr(t, i, lit(w))).as("h"))))
+      .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
+    docs.select(col("doc_id"), explode(wins).as("win"))
+      .select(col("doc_id"), col("win.pos").as("pos"), col("win.h").as("h"))
+  }
+
+  /** `(doc_id, n_cov, kept_md5, n_kept)` per document — the audit
+    * projection of the dedup (callers wanting the rewritten corpus use
+    * [[dedupText]]). */
+  def audit(docs: DataFrame, w: Int = 50): DataFrame =
+    dedupText(docs, w).select(col("doc_id"), col("n_cov"),
+      md5(col("text_clean")).as("kept_md5"),
+      length(col("text_clean")).cast("long").as("n_kept"))
+
+  /** Full rewrite: `(doc_id, n_cov, text_clean)` for every input doc. */
+  def dedupText(docs: DataFrame, w: Int = 50): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val wd = windows(docs, w)
+
+    // duplicate-hash candidates: windows whose hash is seen in >= 2
+    // distinct docs (fixed-width shuffle; the output is duplicate-rate
+    // bounded and AQE broadcasts it into the probe join)
+    val hot = wd.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+
+    // verify on the actual text: candidate rows re-extract their window
+    // and must STILL be cross-doc duplicated as strings. Materialized
+    // once — it feeds both the group and the probe side.
+    val candS = wd.join(hot, "h")
+      .join(docs.select(col("doc_id"), t.as("t")), "doc_id")
+      .select(col("doc_id"), col("pos"), substr(col("t"), col("pos"), lit(w)).as("s"))
+      .localCheckpoint()
+    val verified = candS.groupBy("s")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("s")
+    val covered = candS.join(verified, "s").select(col("doc_id"), col("pos"))
+
+    // per-doc sorted interval starts (small ints), then one equi-join
+    // back to the corpus and a codegen'd gap walk over the complement
+    val ivs = covered.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("pos"))).as("ps"))
+    docs.join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(size(col("ps")), lit(0)).cast("long").as("n_cov"),
+        when(col("ps").isNull, t)
+          .otherwise(removeIntervals(t, col("ps"), w)).as("text_clean"))
+  }
+
+  /** Complement-of-union gap walk: append the uncovered gap before each
+    * interval start, advance the cursor past its window, then append
+    * the tail. O(intervals) appends, all inside whole-stage codegen. */
+  private def removeIntervals(t: Column, ps: Column, w: Int): Column =
+    aggregate(ps,
+      struct(lit(1).as("cur"), lit("").as("acc")),
+      (st, p) => struct(
+        greatest(st("cur"), p + w).as("cur"),
+        concat(st("acc"),
+          when(p > st("cur"), substr(t, st("cur"), p - st("cur")))
+            .otherwise(lit(""))).as("acc")),
+      st => concat(st("acc"),
+        when(length(t) >= st("cur"),
+          substr(t, st("cur"), length(t) - st("cur") + 1))
+          .otherwise(lit(""))))
+}
