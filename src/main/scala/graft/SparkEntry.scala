@@ -1178,6 +1178,25 @@ object SparkEntry {
       graft.pipeline.SubstrDedup.audit(t(s, dir, "documents"), 50)
         .orderBy(col("doc_id"))),
 
+    // Office-document extraction: the corpus is wrapped into real ZIP
+    // containers — even doc_ids as DOCX (WordprocessingML), odd as ODT
+    // (OpenDocument) — with a garnish line exercising XML entities and
+    // tabs; the engine must identify the container and extract the text
+    // back byte-exactly. Oracle: kind from the doc_id rule, md5 of the
+    // pre-encode text from SQL. ------------------------------------------
+    "q_office_text" -> ((s, dir) => {
+      graft.plans.OfficeExprs.register(s)
+      val docs = t(s, dir, "documents")
+      val orig = concat(coalesce(col("text"), lit("")),
+        lit("\nmeta & <tags>\tend 'q' \"z\""))
+      val wrapped = graft.pipeline.OfficeText.wrapCorpus(s,
+        docs.select(col("doc_id"), orig.as("text")))
+      wrapped.select(col("doc_id"),
+          call_function("office_kind", col("bytes")).as("kind"),
+          md5(call_function("office_text", col("bytes"))).as("md5_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Extraction engine (rows-only check — the golden suite is the real
     // correctness gate for these; see GoldenExtractionSpec) ----------------
     "q_extract_records" -> ((s, dir) => {
@@ -2207,6 +2226,16 @@ object SparkEntry {
         |      '${PiiOps.Ipv4Re}', '<IP>', 'g'),
         |      '${PiiOps.PhoneRe}', '<PHONE>', 'g')) AS md5_redacted
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Office extraction: encode(decode(x)) == x through real ZIP+XML
+    // containers; the oracle knows the container kind from the doc_id
+    // parity and the exact expected text from SQL.
+    "q_office_text" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'docx' ELSE 'odt' END AS kind,
+        |  md5(coalesce(text, '') || chr(10) || 'meta & <tags>' || chr(9) ||
+        |      'end ''q'' "z"') AS md5_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Exact-substring dedup replayed via the per-char mask definition
     // (provably equivalent to the engine's interval gap walk: both

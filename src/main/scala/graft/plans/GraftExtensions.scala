@@ -80,5 +80,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pii_redact"),
       new ExpressionInfo(classOf[PiiRedactExpr].getName, "pii_redact"),
       (exprs: Seq[Expression]) => PiiRedactExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("office_kind"),
+      new ExpressionInfo(classOf[OfficeKindExpr].getName, "office_kind"),
+      (exprs: Seq[Expression]) => OfficeKindExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("office_text"),
+      new ExpressionInfo(classOf[OfficeTextExpr].getName, "office_text"),
+      (exprs: Seq[Expression]) => OfficeTextExpr(exprs.head)))
   }
 }
