@@ -1197,6 +1197,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode normalization: the corpus is garnished with decomposed /
+    // precomposed / compat sequences by a doc_id % 4 rule; the engine
+    // normalizes (NFC) and folds to the accent/case-insensitive dedup
+    // key; DuckDB re-derives both from the same rule with its own
+    // utf8proc implementation — two independent UAX #15 implementations
+    // must agree byte-for-byte. --------------------------------------------
+    "q_unicode_norm" -> ((s, dir) => {
+      graft.plans.UnicodeNorm.register(s)
+      val docs = t(s, dir, "documents")
+      // DECOMPOSED garnish on the engine side vs PRECOMPOSED in the
+      // oracle: only a correct NFC composition makes the hashes meet
+      // (U+2126 OHM SIGN canonically maps to U+03A9 GREEK OMEGA).
+      val g = concat(coalesce(col("text"), lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit(" cafe\u0301"))
+          .when(pmod(col("doc_id"), lit(4)) === 1, lit(" A\u030Angstrom"))
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit(" \u2126resistance"))
+          .otherwise(lit(" E\u0301n\u0303QUOTA")))
+      docs.select(col("doc_id"),
+          md5(call_function("unicode_norm", g, lit("NFC"))).as("md5_nfc"),
+          md5(call_function("norm_key", g)).as("md5_key"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Extraction engine (rows-only check — the golden suite is the real
     // correctness gate for these; see GoldenExtractionSpec) ----------------
     "q_extract_records" -> ((s, dir) => {
@@ -2226,6 +2249,25 @@ object SparkEntry {
         |      '${PiiOps.Ipv4Re}', '<IP>', 'g'),
         |      '${PiiOps.PhoneRe}', '<PHONE>', 'g')) AS md5_redacted
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Unicode normalization: DuckDB's utf8proc-based nfc_normalize /
+    // strip_accents replay the engine's UAX #15 kernels. The oracle
+    // garnish is PRECOMPOSED (chr(233)=é, chr(197)=Å, chr(201)=É,
+    // chr(241)=ñ, and chr(937)=Ω — the NFC image of U+2126 OHM) while
+    // the engine side is fed the DECOMPOSED forms: the hashes meet only
+    // if the engine composes correctly.
+    "q_unicode_norm" ->
+      """WITH g AS (
+        |  SELECT doc_id, coalesce(text, '') || CASE doc_id % 4
+        |    WHEN 0 THEN ' caf' || chr(233)
+        |    WHEN 1 THEN ' ' || chr(197) || 'ngstrom'
+        |    WHEN 2 THEN ' ' || chr(937) || 'resistance'
+        |    ELSE ' ' || chr(201) || chr(241) || 'QUOTA' END AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(nfc_normalize(s)) AS md5_nfc,
+        |  md5(strip_accents(lower(nfc_normalize(s)))) AS md5_key
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // Office extraction: encode(decode(x)) == x through real ZIP+XML
     // containers; the oracle knows the container kind from the doc_id
