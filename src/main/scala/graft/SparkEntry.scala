@@ -1220,6 +1220,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Feed/sitemap discovery: one real RSS / Atom / sitemap document per
+    // doc_id (doc_id % 3 rule), three entries each; the engine sniffs the
+    // kind and parses the entry list back (CDATA titles in RSS, escaped
+    // titles + href links in Atom, loc/lastmod in sitemaps); the oracle
+    // re-derives every field from the rule. ---------------------------------
+    "q_feed_entries" -> ((s, dir) => {
+      graft.plans.FeedExprs.register(s)
+      val feeds = graft.pipeline.FeedText.wrapCorpus(s, t(s, dir, "documents"))
+      feeds.select(col("doc_id"),
+          call_function("feed_kind", col("xml")).as("kind"),
+          explode(call_function("feed_entries", col("xml"))).as("e"))
+        .select(col("doc_id"), col("kind"),
+          col("e.title").as("title"), col("e.link").as("link"),
+          col("e.ts").as("ts"))
+        .orderBy(col("doc_id"), col("link"))
+    }),
+
     // Extraction engine (rows-only check — the golden suite is the real
     // correctness gate for these; see GoldenExtractionSpec) ----------------
     "q_extract_records" -> ((s, dir) => {
@@ -2268,6 +2285,19 @@ object SparkEntry {
         |  md5(nfc_normalize(s)) AS md5_nfc,
         |  md5(strip_accents(lower(nfc_normalize(s)))) AS md5_key
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Feed parsing: the oracle replays the doc_id % 3 synthesis rule —
+    // kind, 3 links/timestamps per doc, titles only for rss/atom.
+    "q_feed_entries" ->
+      """SELECT d.doc_id,
+        |  CASE CAST(d.doc_id % 3 AS INT)
+        |    WHEN 0 THEN 'rss' WHEN 1 THEN 'atom' ELSE 'sitemap' END AS kind,
+        |  CASE WHEN d.doc_id % 3 = 2 THEN NULL
+        |    ELSE 'doc & <' || d.doc_id || ' #' || t.k END AS title,
+        |  'https://ex.com/' || d.doc_id || '/' || t.k AS link,
+        |  '2026-01-0' || (t.k + 1) AS ts
+        |FROM documents d CROSS JOIN (SELECT unnest([0,1,2]) AS k) t
+        |ORDER BY doc_id, link""".stripMargin,
 
     // Office extraction: encode(decode(x)) == x through real ZIP+XML
     // containers; the oracle knows the container kind from the doc_id

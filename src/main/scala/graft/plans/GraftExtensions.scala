@@ -88,5 +88,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("office_text"),
       new ExpressionInfo(classOf[OfficeTextExpr].getName, "office_text"),
       (exprs: Seq[Expression]) => OfficeTextExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("unicode_norm"),
+      new ExpressionInfo(classOf[UnicodeNormExpr].getName, "unicode_norm"),
+      (exprs: Seq[Expression]) => UnicodeNormExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("norm_key"),
+      new ExpressionInfo(classOf[NormKeyExpr].getName, "norm_key"),
+      (exprs: Seq[Expression]) => NormKeyExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("feed_kind"),
+      new ExpressionInfo(classOf[FeedKindExpr].getName, "feed_kind"),
+      (exprs: Seq[Expression]) => FeedKindExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("feed_entries"),
+      new ExpressionInfo(classOf[FeedEntriesExpr].getName, "feed_entries"),
+      (exprs: Seq[Expression]) => FeedEntriesExpr(exprs.head)))
   }
 }
