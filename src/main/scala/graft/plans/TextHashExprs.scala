@@ -161,7 +161,39 @@ object TextHashExprs {
     new GenericInternalRow(Array[Any](hex(mn), hex(mx)))
   }
 
-  /** Register all three for SQL/Column use in this session. Idempotent per
+  /** All overlapping character n-grams (codepoint-counted, matching the
+    * builtin `substring`'s SQL semantics) in ONE O(len) pass. The
+    * composed-builtin form — `transform(sequence(1, len-n+1),
+    * i -> substr(nt, i, n))` — is O(len²): every `substr(nt, i, _)` on a
+    * UTF8String re-scans the variable-width bytes from position 0 to
+    * find codepoint i, which at ~2.5k chars/doc turns trigram explode
+    * stages into the dominant cost of the whole plan (measured 31 s of
+    * a 90 s bench). Returns an empty array when len < n. */
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val str = s.toString
+    val len = str.length
+    // start offset (UTF-16) of every codepoint
+    val starts = new Array[Int](len + 1)
+    var m = 0
+    var i = 0
+    while (i < len) {
+      starts(m) = i
+      i += Character.charCount(str.codePointAt(i))
+      m += 1
+    }
+    starts(m) = len
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    var k = 0
+    while (k <= m - n) {
+      out(k) = UTF8String.fromString(str.substring(starts(k), starts(k + n)))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Register all four for SQL/Column use in this session. Idempotent per
     * session: every re-registration logs a `SimpleFunctionRegistry` WARN per
     * function, and query closures call this defensively, so a bench run
     * would otherwise spam dozens of replaced-function warnings. */
@@ -175,6 +207,8 @@ object TextHashExprs {
         "minhash_sig", exprs => MinHashSigExpr(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction(
         "shingle_minmax", exprs => ShingleMinMaxExpr(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "char_ngrams", exprs => CharNgramsExpr(exprs(0), exprs(1)), "built-in")
     }
   }
 
@@ -183,6 +217,30 @@ object TextHashExprs {
     call_function("minhash_sig", tokens, numHashes)
   def shingle_minmax(nt: Column, width: Column): Column =
     call_function("shingle_minmax", nt, width)
+  def char_ngrams(nt: Column, n: Column): Column =
+    call_function("char_ngrams", nt, n)
+}
+
+/** `char_ngrams(text, n)` — all overlapping codepoint n-grams, one pass.
+  * Non-null input always yields an array (possibly empty), so
+  * `defineCodeGen`'s non-null contract holds. */
+case class CharNgramsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "char_ngrams"
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, int), got (${left.dataType}, ${right.dataType})")
+  override protected def nullSafeEval(s: Any, n: Any): Any =
+    TextHashExprs.charNgrams(s.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, n) => s"graft.plans.TextHashExprs.charNgrams($s, $n)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CharNgramsExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** NULL on an empty token array: a zero-token doc has no defined simhash —

@@ -140,4 +140,29 @@ class TextHashSpec extends AnyFunSuite {
       assert(r.getAs[String]("got_mx") == r.getAs[String]("want_mx"), s"mx doc ${r.getLong(0)}")
     }
   }
+
+  test("char_ngrams equals the transform/substr builtin form, all n") {
+    for (n <- Seq(1, 3, 8)) {
+      val builtin = when(length(col("text")) >= n,
+        transform(sequence(lit(1), length(col("text")) - (n - 1)),
+          i => col("text").substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+      val rows = df
+        .select(col("doc_id"),
+          TextHashExprs.char_ngrams(col("text"), lit(n)).as("got"),
+          builtin.as("want"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n doc ${r.getLong(0)}")
+      }
+    }
+    // astral plane: surrogate pairs count as ONE codepoint per position
+    import spark.implicits._
+    val astral = Seq((7L, "a\ud83d\ude00b")).toDF("doc_id", "text")
+    val got = astral
+      .select(TextHashExprs.char_ngrams(col("text"), lit(2)))
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("a\ud83d\ude00", "\ud83d\ude00b"))
+  }
 }
