@@ -36,19 +36,22 @@ import org.apache.spark.sql.functions._
   *     corpus) re-extract the actual window text and re-group on it,
   *     so a 64-bit collision can only ever ADD a candidate that the
   *     verify stage then discards — results are exact;
-  *  4. interval removal is a per-row O(intervals) gap walk with
-  *     `aggregate()` — codegen'd, no per-char explode, no UDF.
+  *  4. interval removal is a per-row one-pass byte walk over the
+  *     complement (`remove_intervals`) — codegen'd, no per-char
+  *     explode, no UDF.
   */
 object SubstrDedup {
 
-  /** Stride-1 window table `(doc_id, pos, h)` — hashes only. */
+  /** Stride-1 window table `(doc_id, pos, h)` — hashes only, via the
+    * one-pass [[graft.plans.TextHashExprs.windowHashes]] kernel (the
+    * composed `transform(sequence(...), i -> xxhash64(substr(t, i, w)))`
+    * form computes the same pairs but O(len²): every `substr` re-scans
+    * the UTF8String's variable-width bytes from position 0). */
   private def windows(docs: DataFrame, w: Int): DataFrame = {
+    graft.plans.TextHashExprs.register(docs.sparkSession)
     val t = coalesce(col("text"), lit(""))
-    val wins = when(length(t) >= w,
-      transform(sequence(lit(1), length(t) - (w - 1)),
-        i => struct(i.as("pos"), xxhash64(substr(t, i, lit(w))).as("h"))))
-      .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
-    docs.select(col("doc_id"), explode(wins).as("win"))
+    docs.select(col("doc_id"),
+        explode(graft.plans.TextHashExprs.window_hashes(t, lit(w))).as("win"))
       .select(col("doc_id"), col("win.pos").as("pos"), col("win.h").as("h"))
   }
 
@@ -73,11 +76,17 @@ object SubstrDedup {
       .filter(col("nd") >= 2).select("h")
 
     // verify on the actual text: candidate rows re-extract their window
-    // and must STILL be cross-doc duplicated as strings. Materialized
-    // once — it feeds both the group and the probe side.
+    // and must STILL be cross-doc duplicated as strings. Positions are
+    // gathered per doc first so the extraction is ONE indexed pass over
+    // each text (windows_at) instead of an O(pos) substr scan per
+    // candidate row; the extra exchange is (doc_id, pos) ints only.
+    // Materialized once — it feeds both the group and the probe side.
     val candS = wd.join(hot, "h")
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("cps"))
       .join(docs.select(col("doc_id"), t.as("t")), "doc_id")
-      .select(col("doc_id"), col("pos"), substr(col("t"), col("pos"), lit(w)).as("s"))
+      .select(col("doc_id"), explode(graft.plans.TextHashExprs
+        .windows_at(col("t"), col("cps"), lit(w))).as("win"))
+      .select(col("doc_id"), col("win.pos").as("pos"), col("win.s").as("s"))
       .localCheckpoint()
     val verified = candS.groupBy("s")
       .agg(count_distinct(col("doc_id")).as("nd"))
@@ -88,26 +97,15 @@ object SubstrDedup {
     // back to the corpus and a codegen'd gap walk over the complement
     val ivs = covered.groupBy("doc_id")
       .agg(sort_array(collect_set(col("pos"))).as("ps"))
+    // complement-of-union gap walk: one indexed byte pass per doc
+    // (remove_intervals); the aggregate/substr fold it replaces paid an
+    // O(cursor) scan per interval — stride-1 covered regions yield
+    // ~region-length interval starts, so that compounding mattered
     docs.join(ivs, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(size(col("ps")), lit(0)).cast("long").as("n_cov"),
         when(col("ps").isNull, t)
-          .otherwise(removeIntervals(t, col("ps"), w)).as("text_clean"))
+          .otherwise(graft.plans.TextHashExprs
+            .remove_intervals(t, col("ps"), lit(w))).as("text_clean"))
   }
-
-  /** Complement-of-union gap walk: append the uncovered gap before each
-    * interval start, advance the cursor past its window, then append
-    * the tail. O(intervals) appends, all inside whole-stage codegen. */
-  private def removeIntervals(t: Column, ps: Column, w: Int): Column =
-    aggregate(ps,
-      struct(lit(1).as("cur"), lit("").as("acc")),
-      (st, p) => struct(
-        greatest(st("cur"), p + w).as("cur"),
-        concat(st("acc"),
-          when(p > st("cur"), substr(t, st("cur"), p - st("cur")))
-            .otherwise(lit(""))).as("acc")),
-      st => concat(st("acc"),
-        when(length(t) >= st("cur"),
-          substr(t, st("cur"), length(t) - st("cur") + 1))
-          .otherwise(lit(""))))
 }

@@ -193,6 +193,89 @@ object TextHashExprs {
     new GenericArrayData(out)
   }
 
+  /** Codepoint start BYTE offsets of a UTF8String (terminated by the
+    * total byte length) plus the codepoint count — the shared index the
+    * one-pass window kernels below walk instead of re-scanning from
+    * byte 0 per position the way each builtin `substr(t, i, _)` does. */
+  private def cpStarts(bytes: Array[Byte]): (Array[Int], Int) = {
+    val n = bytes.length
+    val starts = new Array[Int](n + 1)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      starts(m) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      m += 1
+    }
+    starts(m) = n
+    (starts, m)
+  }
+
+  /** `(pos:int, h:bigint)` for every stride-1 `w`-codepoint window —
+    * `h` bit-identical to the builtin `xxhash64(substr(t, pos, w))`
+    * (same XXH64, seed 42, over the window's UTF-8 bytes), computed in
+    * ONE O(len) pass. Empty array when the text is shorter than `w`. */
+  def windowHashes(s: UTF8String, w: Int): ArrayData = {
+    if (w <= 0) return new GenericArrayData(Array.empty[Any])
+    val bytes = s.getBytes
+    val (starts, m) = cpStarts(bytes)
+    if (m < w) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - w + 1)
+    var k = 0
+    while (k <= m - w) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + starts(k),
+        starts(k + w) - starts(k), 42L)
+      out(k) = new GenericInternalRow(Array[Any](k + 1, h))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `(pos:int, s:string)` for each requested 1-based codepoint
+    * position — every window sliced off the SAME offset index in one
+    * pass (the builtin form pays an O(pos) scan per row). Positions
+    * past the end yield the (possibly empty) tail, like `substring`. */
+  def windowsAt(s: UTF8String, ps: ArrayData, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val (starts, m) = cpStarts(bytes)
+    val n = ps.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val p = ps.getInt(i)
+      val from = math.min(math.max(p - 1, 0), m)
+      val until = math.min(from + math.max(w, 0), m)
+      out(i) = new GenericInternalRow(Array[Any](p,
+        UTF8String.fromBytes(bytes, starts(from), starts(until) - starts(from))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Complement of the union of the `w`-codepoint intervals starting at
+    * the SORTED 1-based positions `ps` — the exact-substring-dedup gap
+    * walk as one O(len) byte pass (the builtin `aggregate` fold pays an
+    * O(cursor) scan per interval). */
+  def removeIntervals(s: UTF8String, ps: ArrayData, w: Int): UTF8String = {
+    val bytes = s.getBytes
+    val (starts, m) = cpStarts(bytes)
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    var cur = 1 // 1-based codepoint cursor
+    var i = 0
+    val n = ps.numElements()
+    while (i < n) {
+      // registered session-wide: clamp hostile positions to [1, m+1]
+      val p = math.min(math.max(ps.getInt(i), 1), m + 1)
+      if (p > cur)
+        out.write(bytes, starts(cur - 1), starts(p - 1) - starts(cur - 1))
+      cur = math.max(cur, p + w)
+      i += 1
+    }
+    if (cur <= m) out.write(bytes, starts(cur - 1), bytes.length - starts(cur - 1))
+    UTF8String.fromBytes(out.toByteArray)
+  }
+
   /** Register all four for SQL/Column use in this session. Idempotent per
     * session: every re-registration logs a `SimpleFunctionRegistry` WARN per
     * function, and query closures call this defensively, so a bench run
@@ -209,6 +292,12 @@ object TextHashExprs {
         "shingle_minmax", exprs => ShingleMinMaxExpr(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction(
         "char_ngrams", exprs => CharNgramsExpr(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "window_hashes", exprs => WindowHashesExpr(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "windows_at", exprs => WindowsAtExpr(exprs(0), exprs(1), exprs(2)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "remove_intervals", exprs => RemoveIntervalsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
     }
   }
 
@@ -219,6 +308,84 @@ object TextHashExprs {
     call_function("shingle_minmax", nt, width)
   def char_ngrams(nt: Column, n: Column): Column =
     call_function("char_ngrams", nt, n)
+  def window_hashes(t: Column, w: Column): Column =
+    call_function("window_hashes", t, w)
+  def windows_at(t: Column, ps: Column, w: Column): Column =
+    call_function("windows_at", t, ps, w)
+  def remove_intervals(t: Column, ps: Column, w: Column): Column =
+    call_function("remove_intervals", t, ps, w)
+}
+
+/** `window_hashes(text, w)` — stride-1 window positions + xxhash64
+  * (seed 42, bit-identical to `xxhash64(substr(text, pos, w))`). */
+case class WindowHashesExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "window_hashes"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("h", LongType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, int), got (${left.dataType}, ${right.dataType})")
+  override protected def nullSafeEval(s: Any, w: Any): Any =
+    TextHashExprs.windowHashes(s.asInstanceOf[UTF8String], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, w) => s"graft.plans.TextHashExprs.windowHashes($s, $w)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WindowHashesExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `windows_at(text, positions, w)` — the `w`-codepoint window at each
+  * 1-based position, sliced off one shared offset index. */
+case class WindowsAtExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def prettyName: String = "windows_at"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("s", StringType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, ArrayType(IntegerType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, array<int>, int), got $other")
+    }
+  override protected def nullSafeEval(s: Any, ps: Any, w: Any): Any =
+    TextHashExprs.windowsAt(s.asInstanceOf[UTF8String],
+      ps.asInstanceOf[ArrayData], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, ps, w) =>
+      s"graft.plans.TextHashExprs.windowsAt($s, $ps, $w)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WindowsAtExpr =
+    copy(first = f, second = s, third = t)
+}
+
+/** `remove_intervals(text, sorted_positions, w)` — complement of the
+  * union of the `w`-codepoint windows, one byte pass. */
+case class RemoveIntervalsExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def prettyName: String = "remove_intervals"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, ArrayType(IntegerType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, array<int>, int), got $other")
+    }
+  override protected def nullSafeEval(s: Any, ps: Any, w: Any): Any =
+    TextHashExprs.removeIntervals(s.asInstanceOf[UTF8String],
+      ps.asInstanceOf[ArrayData], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, ps, w) =>
+      s"graft.plans.TextHashExprs.removeIntervals($s, $ps, $w)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): RemoveIntervalsExpr =
+    copy(first = f, second = s, third = t)
 }
 
 /** `char_ngrams(text, n)` — all overlapping codepoint n-grams, one pass.

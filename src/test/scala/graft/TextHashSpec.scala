@@ -165,4 +165,47 @@ class TextHashSpec extends AnyFunSuite {
       .collect()(0).getSeq[String](0)
     assert(got == Seq("a\ud83d\ude00", "\ud83d\ude00b"))
   }
+
+  test("window_hashes equals xxhash64-over-substr, incl. non-ASCII") {
+    val w = 8
+    val t = coalesce(col("text"), lit(""))
+    val builtin = when(length(t) >= w,
+      transform(sequence(lit(1), length(t) - (w - 1)),
+        i => struct(i.as("pos"), xxhash64(substring(t, i, lit(w))).as("h"))))
+      .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
+    val rows = df.select(col("doc_id"),
+        TextHashExprs.window_hashes(t, lit(w)).as("got"), builtin.as("want"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](1) == r.getSeq[Any](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("windows_at equals per-position substr; remove_intervals equals the fold") {
+    val w = 8
+    val t = coalesce(col("text"), lit(""))
+    // positions 1, 3, and one near the end of each text
+    val ps = array(lit(1), lit(3), greatest(length(t) - 2, lit(1)))
+    val rows = df.select(col("doc_id"),
+        TextHashExprs.windows_at(t, ps, lit(w)).as("got"),
+        transform(ps, p => struct(p.as("pos"),
+          substring(t, p, lit(w)).as("s"))).as("want"),
+        TextHashExprs.remove_intervals(t, sort_array(ps), lit(w)).as("got_rm"),
+        aggregate(sort_array(ps),
+          struct(lit(1).as("cur"), lit("").as("acc")),
+          (st, p) => struct(
+            greatest(st("cur"), p + w).as("cur"),
+            concat(st("acc"),
+              when(p > st("cur"), substring(t, st("cur"), p - st("cur")))
+                .otherwise(lit(""))).as("acc")),
+          st => concat(st("acc"),
+            when(length(t) >= st("cur"),
+              substring(t, st("cur"), length(t) - st("cur") + 1))
+              .otherwise(lit("")))).as("want_rm"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](1) == r.getSeq[Any](2), s"windows_at doc ${r.getLong(0)}")
+      assert(r.getString(3) == r.getString(4), s"remove_intervals doc ${r.getLong(0)}")
+    }
+  }
 }
