@@ -60,9 +60,15 @@ object LmQuality {
     * `substr` re-scans the UTF8String's variable-width bytes from the
     * start, which made trigram generation dominate the whole stage
     * (measured 31 s → 3 s at sf0.1). Semantics are identical —
-    * codepoint-counted n-grams, empty array below 3 chars. */
-  def trigramList(nt: Column): Column =
+    * codepoint-counted n-grams, empty array below 3 chars. Registers
+    * the kernel on the active/default session first, so callers (and
+    * tests) can use this column factory without a prior `register()`. */
+  def trigramList(nt: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(graft.plans.TextHashExprs.register)
     graft.plans.TextHashExprs.char_ngrams(nt, lit(3))
+  }
 
   /** Per-language trigram LM over `docs(doc_id, text, lang)`:
     * `(lang, tri, logp_e9)` plus the per-language unseen floor
