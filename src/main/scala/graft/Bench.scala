@@ -60,7 +60,8 @@ object Bench {
       "q_link_extract", "q_host_graph", "q_pagerank", "q_anchor_stats",
       "q_line_dedup", "q_redirect_resolve",
       "q_charset_sniff", "q_mojibake_fix", "q_pii_stats", "q_lm_quality",
-      "q_dedup_substr", "q_office_text", "q_unicode_norm", "q_feed_entries")
+      "q_dedup_substr", "q_office_text", "q_unicode_norm", "q_feed_entries",
+      "q_host_quota")
 
     // JIT/codegen warm pass at the smallest SF (same plan shapes → same
     // generated classes) so the timed runs measure steady state, not

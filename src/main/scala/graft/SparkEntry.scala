@@ -562,6 +562,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_host_quota" -> ((s, dir) => {
+      // Per-host quota capping (Common-Crawl-style host balancing): at
+      // most 20 docs per source, picked by deterministic md5(doc_id)
+      // rank — retry-stable and exactly replayable in SQL; rk audits
+      // the selection.
+      graft.pipeline.SamplingJobs.hostQuota(
+        t(s, dir, "documents"), host = col("source"), key = col("doc_id"), k = 20)
+        .select(col("doc_id"), col("source"), col("rk"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_fingerprint" -> ((s, dir) => {
       // Per-doc rolling-shingle fingerprint in ONE compiled in-row pass
       // (graft.plans.ShingleMinMaxExpr): the former plan exploded every
@@ -1813,6 +1824,16 @@ object SparkEntry {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
         |      CASE lang WHEN 'en' THEN '1a' WHEN 'zh' THEN '80' ELSE '40' END
         |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors SamplingJobs.hostQuota(k=20): rank per source by
+    // md5(doc_id) with doc_id as the total-order tiebreak, keep rk<=20.
+    "q_host_quota" ->
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" ->
       """SELECT doc_id,

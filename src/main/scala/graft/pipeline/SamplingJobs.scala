@@ -55,4 +55,27 @@ object SamplingJobs {
     }
     df.withColumn("bucket", bucket).filter(keep)
   }
+
+  /** Per-host quota capping — the crawl-side balancing step
+    * (Common-Crawl-lineage pipelines cap documents per registered
+    * domain so megasites don't dominate the corpus): keep at most `k`
+    * rows per `host`, chosen DETERMINISTICALLY by md5(key) rank — the
+    * same retry-stable, engine-reproducible discipline as
+    * [[stratifiedSample]] (a rand()-ranked cap silently changes the
+    * corpus on task retry; a first-k-seen cap depends on scan order).
+    * Emits the rank as `rk` (1-based) so the selection is auditable.
+    *
+    * Shape at 100 TB: one shuffle on `host` + a per-host sort-window.
+    * Host cardinality is ~1e8-1e9 at web scale, so partitions hold many
+    * small groups; a single megasite host skews its one partition only
+    * and AQE's skew handling splits it. For tiny `k` a two-phase
+    * top-k-per-group (partial heap per map task) would cut the shuffle
+    * to k rows/host/task — the window form keeps the audit rank exactly
+    * replayable in SQL, which is what the oracle pins. */
+  def hostQuota(df: DataFrame, host: Column, key: Column, k: Int): DataFrame = {
+    require(k > 0, s"non-positive host quota $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(host)
+      .orderBy(md5(key.cast("string").cast("binary")), key)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
 }

@@ -69,4 +69,30 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(base == shuffled)
   }
+
+  test("hostQuota caps every host at k, deterministically and retry-stably") {
+    val k = 3
+    val capped = SamplingJobs.hostQuota(docs, col("source"), col("doc_id"), k)
+    val bySource = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inputBySource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every host capped at k; hosts under k keep everything
+    inputBySource.foreach { case (s, n) =>
+      assert(bySource(s) == math.min(n, k.toLong), s"host $s")
+    }
+    // rank audit: 1..count per host, no gaps
+    val ranks = capped.groupBy("source")
+      .agg(min("rk").as("mn"), max("rk").as("mx"), count(lit(1)).as("c"))
+      .collect()
+    ranks.foreach { r =>
+      assert(r.getAs[Int]("mn") == 1 && r.getAs[Int]("mx").toLong == r.getAs[Long]("c"))
+    }
+    // deterministic under repartition (retry-stability)
+    val a = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = SamplingJobs.hostQuota(
+      docs.repartition(13, col("lang")), col("source"), col("doc_id"), k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
 }
