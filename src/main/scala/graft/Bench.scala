@@ -61,7 +61,7 @@ object Bench {
       "q_line_dedup", "q_redirect_resolve",
       "q_charset_sniff", "q_mojibake_fix", "q_pii_stats", "q_lm_quality",
       "q_dedup_substr", "q_office_text", "q_unicode_norm", "q_feed_entries",
-      "q_host_quota")
+      "q_host_quota", "q_rtf_text")
 
     // JIT/codegen warm pass at the smallest SF (same plan shapes → same
     // generated classes) so the timed runs measure steady state, not

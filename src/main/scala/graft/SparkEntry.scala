@@ -1231,6 +1231,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // RTF extraction: the corpus as real RTF control-word streams with
+    // a garnish exercising escapes, tabs, and \uN unicode (é, 中);
+    // kind + decode(encode(x)) == x, oracle-derived from the rule. -----
+    "q_rtf_text" -> ((s, dir) => {
+      graft.plans.OfficeExprs.register(s)
+      val docs = t(s, dir, "documents")
+      val orig = concat(coalesce(col("text"), lit("")),
+        lit("\nRTF & {braces} \\ tab\t \u00e9\u4e2d"))
+      val wrapped = graft.pipeline.RtfText.wrapCorpus(s,
+        docs.select(col("doc_id"), orig.as("text")))
+      wrapped.select(col("doc_id"),
+          call_function("office_kind", col("bytes")).as("kind"),
+          md5(call_function("office_text", col("bytes"))).as("md5_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Feed/sitemap discovery: one real RSS / Atom / sitemap document per
     // doc_id (doc_id % 3 rule), three entries each; the engine sniffs the
     // kind and parses the entry list back (CDATA titles in RSS, escaped
@@ -2306,6 +2322,15 @@ object SparkEntry {
         |  md5(nfc_normalize(s)) AS md5_nfc,
         |  md5(strip_accents(lower(nfc_normalize(s)))) AS md5_key
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // RTF extraction: decode(encode(x)) == x through a real control-word
+    // stream; the garnish is a backslash, braces, a tab, and two \uN
+    // chars (chr(233)=é, chr(20013)=中) the oracle re-derives raw.
+    "q_rtf_text" ->
+      """SELECT doc_id, 'rtf' AS kind,
+        |  md5(coalesce(text, '') || chr(10) || 'RTF & {braces} \ tab' ||
+        |      chr(9) || ' ' || chr(233) || chr(20013)) AS md5_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Feed parsing: the oracle replays the doc_id % 3 synthesis rule —
     // kind, 3 links/timestamps per doc, titles only for rss/atom.

@@ -37,10 +37,13 @@ object OfficeText {
 
   private val MaxPartBytes = 64 << 20 // one XML part, decompressed
 
-  /** Container kind from the ZIP entry inventory:
-    * `docx | odt | zip | null` (null = not a ZIP at all). */
+  /** Container kind: `docx | odt | rtf | zip | null`. DOCX/ODT are ZIP
+    * containers identified by their entry inventory; RTF is a plain
+    * `{\rtf` control-word stream ([[RtfText]]). */
   def kind(bytes: Array[Byte]): String = {
-    if (bytes == null || bytes.length < 4) return null
+    if (bytes == null || bytes.length < 5) return null
+    if (bytes(0) == '{' && bytes(1) == '\\' && bytes(2) == 'r' &&
+        bytes(3) == 't' && bytes(4) == 'f') return "rtf"
     if (!(bytes(0) == 'P' && bytes(1) == 'K' && bytes(2) == 3 && bytes(3) == 4))
       return null
     try {
@@ -65,6 +68,7 @@ object OfficeText {
     * malformed. */
   def text(bytes: Array[Byte]): String = {
     val k = kind(bytes)
+    if (k == "rtf") return RtfText.extract(CharsetOps.decode1252(bytes))
     if (k != "docx" && k != "odt") return null
     val part = if (k == "docx") "word/document.xml" else "content.xml"
     val xml = readPart(bytes, part)
