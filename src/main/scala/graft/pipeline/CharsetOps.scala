@@ -178,7 +178,19 @@ object CharsetOps {
         decode1252(b)
       case "windows-1252" | "latin-1" | "latin1" | "iso-8859-1" | "cp1252" =>
         decode1252(b)
-      case _ => decode1252(b)
+      case _ =>
+        // Labels outside the natively-handled set: legacy charsets the
+        // JDK ships (shift_jis, euc-kr, gbk, big5, koi8-r, iso-8859-2,
+        // ...) decode with REPLACE error actions — an unconditional
+        // windows-1252 fallback here would turn correctly-labeled
+        // CJK/Cyrillic pages into mojibake. Labels the JDK does not
+        // know keep the 1252 fallback (total: never a throw).
+        try {
+          val dec = java.nio.charset.Charset.forName(l).newDecoder()
+            .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+            .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+          dec.decode(java.nio.ByteBuffer.wrap(b)).toString
+        } catch { case _: Exception => decode1252(b) }
     }
   }
 

@@ -141,8 +141,11 @@ object FeedText {
     while (true) {
       val at = tagBody.indexOf(name + "=", from)
       if (at < 0) return null
-      // must be a word boundary (not part of another attribute name)
-      if (at == 0 || !Character.isLetterOrDigit(tagBody.charAt(at - 1))) {
+      // must start an attribute name: only whitespace may precede it —
+      // a letter/digit would be a suffix match (xhref), and '-' '.' ':'
+      // '_' are legal NAME chars, so data-href / xlink:href must not
+      // be misread as href (attributes are whitespace-separated in XML)
+      if (at == 0 || Character.isWhitespace(tagBody.charAt(at - 1))) {
         val q = at + name.length + 1
         if (q < tagBody.length && (tagBody.charAt(q) == '"' || tagBody.charAt(q) == '\'')) {
           val quote = tagBody.charAt(q)

@@ -60,14 +60,21 @@ abstract class FeedStringExpr extends UnaryExpression {
       s"$prettyName requires a string argument, got ${child.dataType}")
 }
 
-/** `feed_kind(text)` — rss | atom | sitemap | null. */
+/** `feed_kind(text)` — rss | atom | sitemap | null. The kernel returns
+  * null for NON-NULL input (not a feed), so nullable is forced true and
+  * codegen re-checks the result (the FeedEntriesExpr discipline —
+  * `defineCodeGen` would leave isNull=false and NPE downstream). */
 case class FeedKindExpr(child: Expression) extends FeedStringExpr {
   override def prettyName: String = "feed_kind"
   override def dataType: DataType = StringType
+  override def nullable: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
     FeedExprs.kindS(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.FeedExprs.kindS($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.FeedExprs.kindS($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   override protected def withNewChildInternal(newChild: Expression): FeedKindExpr =
     copy(child = newChild)
 }

@@ -104,5 +104,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("feed_entries"),
       new ExpressionInfo(classOf[FeedEntriesExpr].getName, "feed_entries"),
       (exprs: Seq[Expression]) => FeedEntriesExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNgramsExpr].getName, "char_ngrams"),
+      (exprs: Seq[Expression]) => CharNgramsExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("window_hashes"),
+      new ExpressionInfo(classOf[WindowHashesExpr].getName, "window_hashes"),
+      (exprs: Seq[Expression]) => WindowHashesExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("windows_at"),
+      new ExpressionInfo(classOf[WindowsAtExpr].getName, "windows_at"),
+      (exprs: Seq[Expression]) => WindowsAtExpr(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("remove_intervals"),
+      new ExpressionInfo(classOf[RemoveIntervalsExpr].getName, "remove_intervals"),
+      (exprs: Seq[Expression]) => RemoveIntervalsExpr(exprs(0), exprs(1), exprs(2))))
   }
 }

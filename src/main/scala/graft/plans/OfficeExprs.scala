@@ -22,24 +22,37 @@ abstract class OfficeBinaryToStringExpr extends UnaryExpression {
       s"$prettyName requires a binary argument, got ${child.dataType}")
 }
 
-/** `office_kind(bytes)` — docx | odt | zip | null. */
+/** `office_kind(bytes)` — docx | odt | rtf | zip | null. The kernel
+  * returns null for NON-NULL input (unrecognized container), so nullable
+  * is forced true and codegen re-checks the result — `defineCodeGen`
+  * would leave isNull=false and NPE downstream under whole-stage codegen
+  * (the FeedEntriesExpr discipline). */
 case class OfficeKindExpr(child: Expression) extends OfficeBinaryToStringExpr {
   override def prettyName: String = "office_kind"
+  override def nullable: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
     OfficeExprs.kindB(input.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.OfficeExprs.kindB($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.OfficeExprs.kindB($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   override protected def withNewChildInternal(newChild: Expression): OfficeKindExpr =
     copy(child = newChild)
 }
 
-/** `office_text(bytes)` — extracted plain text (null when unrecognized). */
+/** `office_text(bytes)` — extracted plain text (null when unrecognized;
+  * same result-null codegen discipline as [[OfficeKindExpr]]). */
 case class OfficeTextExpr(child: Expression) extends OfficeBinaryToStringExpr {
   override def prettyName: String = "office_text"
+  override def nullable: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
     OfficeExprs.textB(input.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.OfficeExprs.textB($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.OfficeExprs.textB($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   override protected def withNewChildInternal(newChild: Expression): OfficeTextExpr =
     copy(child = newChild)
 }

@@ -83,10 +83,17 @@ case class UnicodeNormExpr(left: Expression, right: Expression)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (string, string), got (${left.dataType}, ${right.dataType})")
+  // norm() returns null for NON-NULL input (unknown form), so nullable is
+  // forced true and codegen re-checks the result — defineCodeGen would
+  // leave isNull=false and NPE downstream under whole-stage codegen.
+  override def nullable: Boolean = true
   override protected def nullSafeEval(s: Any, f: Any): Any =
     UnicodeNorm.norm(s.asInstanceOf[UTF8String], f.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (s, f) => s"graft.plans.UnicodeNorm.norm($s, $f)")
+    nullSafeCodeGen(ctx, ev, (s, f) => s"""
+      ${ev.value} = graft.plans.UnicodeNorm.norm($s, $f);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): UnicodeNormExpr =
     copy(left = newLeft, right = newRight)

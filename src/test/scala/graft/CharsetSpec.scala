@@ -99,6 +99,27 @@ class CharsetSpec extends AnyFunSuite {
     assert(CharsetOps.decodeAs(b(0xE9), "latin-1") == "é")
   }
 
+  test("decodeAs honors correctly-labeled JDK legacy charsets (CJK/Cyrillic)") {
+    // a correctly-labeled Shift_JIS / EUC-KR / KOI8-R page must decode
+    // for real, not through the windows-1252 fallback (which yields
+    // mojibake for every multi-byte encoding)
+    for (label <- Seq("shift_jis", "euc-kr", "gbk", "big5", "koi8-r", "iso-8859-2")) {
+      val cs = java.nio.charset.Charset.forName(label)
+      val text = label match {
+        case "shift_jis" => "日本語テスト"
+        case "euc-kr"    => "한국어"
+        case "gbk"       => "中文测试"
+        case "big5"      => "中文測試"
+        case "koi8-r"    => "русский"
+        case _           => "żółć" // iso-8859-2 Polish
+      }
+      assert(CharsetOps.decodeAs(text.getBytes(cs), label) == text, s"label=$label")
+    }
+    // undecodable bytes under a known charset REPLACE, never throw
+    val bad = b(0x81, 0x39) // invalid Shift_JIS trail byte
+    assert(CharsetOps.decodeAs(bad, "shift_jis") != null)
+  }
+
   test("decodeWithHeader: a lying utf-8 header falls back to the sniff") {
     val cp = CharsetOps.encodeAs("café ±", "windows-1252")
     assert(CharsetOps.decodeWithHeader(cp, "utf-8") == "café ±") // lie detected

@@ -33,6 +33,21 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect()(0).getString(0)
       assert(got == Cleaners.cleanPdfIndexArtifacts(noisy))
       assert(got.length < noisy.length, "margin index should have been cut")
+
+      // the TextHash kernel family must resolve through the extension
+      // registry too (registry kept in sync with TextHashExprs.register)
+      val tri = spark.sql("SELECT char_ngrams('abcd', 3) AS g")
+        .collect()(0).getSeq[String](0)
+      assert(tri == Seq("abc", "bcd"))
+      val wh = spark.sql("SELECT size(window_hashes('abcdef', 3)) AS n")
+        .collect()(0).getInt(0)
+      assert(wh == 4)
+      val wat = spark.sql("SELECT windows_at('abcdef', array(1, 3), 3) AS w")
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0).map(_.getString(1))
+      assert(wat == Seq("abc", "cde"))
+      val ri = spark.sql("SELECT remove_intervals('abcdef', array(2), 3) AS t")
+        .collect()(0).getString(0)
+      assert(ri == "aef")
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

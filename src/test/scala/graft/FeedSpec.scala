@@ -66,6 +66,21 @@ class FeedSpec extends AnyFunSuite {
     assert(FeedText.entries(rss).toSeq == Seq(Entry("i1", "https://i1", "d1")))
   }
 
+  test("hyphenated/namespaced attributes do not shadow href") {
+    // data-href and xlink:href contain href as a suffix after a legal XML
+    // NAME char — neither may be read as the link's href
+    val atom = "<feed><entry><title>t</title>" +
+      "<link data-href=\"https://wrong.example/a\" href=\"https://right.example/a\"/>" +
+      "<updated>t1</updated></entry>" +
+      "<entry><title>u</title>" +
+      "<link xlink:href=\"https://wrong.example/b\"/>" +
+      "<updated>t2</updated></entry></feed>"
+    val got = FeedText.entries(atom).toSeq
+    assert(got == Seq(
+      Entry("t", "https://right.example/a", "t1"),
+      Entry("u", null, "t2")))
+  }
+
   test("truncation yields completed entries; non-feed yields null") {
     val full = FeedText.encodeRss(es)
     val cut = full.substring(0, full.indexOf("<item>", full.indexOf("<item>") + 1) + 20)
