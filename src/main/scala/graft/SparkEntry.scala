@@ -354,21 +354,26 @@ object SparkEntry {
       // in-bucket pairs only — never all-pairs. The synthetic embeddings
       // are near-orthogonal, so the demonstrative threshold is low; at a
       // real corpus it would sit at ~0.95.
+      // Dot products run in the compiled vec_dot kernel (bit-identical
+      // fold to the interpreted zip_with/aggregate form it replaced), and
+      // each vector's norm is computed ONCE per row BEFORE the join
+      // instead of once per candidate pair — identical doubles, O(rows)
+      // instead of O(pairs) norm work.
+      graft.plans.VecExprs.register(s)
+      import graft.plans.VecExprs.vec_dot
       val e = t(s, dir, "embeddings")
       val bucket = (1 to 8).map(i =>
         when(element_at(col("embedding"), i) > 0, 1 << (i - 1)).otherwise(0))
         .reduce(_ + _)
       val withB = e.withColumn("bucket", bucket)
-      val dotExpr = (x: Column, y: Column) =>
-        aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
-          lit(0.0), (acc, v) => acc + v)
-      val a = withB.select(col("vec_id").as("id_a"), col("embedding").as("a_emb"), col("bucket"))
-      val b = withB.select(col("vec_id").as("id_b"), col("embedding").as("b_emb"), col("bucket"))
+        .withColumn("nrm", sqrt(vec_dot(col("embedding"), col("embedding"))))
+      val a = withB.select(col("vec_id").as("id_a"), col("embedding").as("a_emb"),
+        col("nrm").as("a_nrm"), col("bucket"))
+      val b = withB.select(col("vec_id").as("id_b"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm"), col("bucket"))
       a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
         .withColumn("cos_sim", round(
-          dotExpr(col("a_emb"), col("b_emb")) /
-            (sqrt(dotExpr(col("a_emb"), col("a_emb"))) *
-             sqrt(dotExpr(col("b_emb"), col("b_emb")))), 4))
+          vec_dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4))
         .filter(col("cos_sim") >= 0.2)
         .select(col("id_a"), col("id_b"), col("cos_sim"))
         .orderBy(col("id_a"), col("id_b"))
@@ -376,17 +381,19 @@ object SparkEntry {
 
     // Similarity search ----------------------------------------------------
     "q_ann_cosine" -> ((s, dir) => {
+      // vec_dot kernel + per-side norms computed once per ROW before the
+      // join (identical doubles; the post-join form re-ran each O(dim)
+      // norm once per candidate pair).
+      graft.plans.VecExprs.register(s)
+      import graft.plans.VecExprs.vec_dot
       val e = t(s, dir, "embeddings")
-      val dotExpr = (x: Column, y: Column) =>
-        aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
-          lit(0.0), (acc, v) => acc + v)
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          sqrt(vec_dot(col("embedding"), col("embedding"))).as("qn"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        sqrt(vec_dot(col("embedding"), col("embedding"))).as("nn"))
       val joined = q.join(broadcast(c), col("q_id") =!= col("n_id"))
-        .withColumn("dot", dotExpr(col("q_emb"), col("n_emb")))
-        .withColumn("qn", sqrt(dotExpr(col("q_emb"), col("q_emb"))))
-        .withColumn("nn", sqrt(dotExpr(col("n_emb"), col("n_emb"))))
+        .withColumn("dot", vec_dot(col("q_emb"), col("n_emb")))
         .withColumn("sim", round(col("dot") / (col("qn") * col("nn")), 4))
       val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("n_id"))
       joined.withColumn("rn", row_number().over(w))
@@ -414,17 +421,19 @@ object SparkEntry {
       val bucket = (1 to 8).map(i =>
         when(element_at(col("embedding"), i) > 0, 1 << (i - 1)).otherwise(0))
         .reduce(_ + _)
+      // vec_dot kernel + per-side norms once per row pre-join (identical
+      // doubles — see q_ann_cosine)
+      graft.plans.VecExprs.register(s)
+      import graft.plans.VecExprs.vec_dot
       val withB = e.withColumn("bucket", bucket)
-      val dotExpr = (x: Column, y: Column) =>
-        aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
-          lit(0.0), (acc, v) => acc + v)
+        .withColumn("nrm", sqrt(vec_dot(col("embedding"), col("embedding"))))
       val q = withB.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
-      val c = withB.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("bucket"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("qn"), col("bucket"))
+      val c = withB.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nrm").as("nn"), col("bucket"))
       val joined = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
-        .withColumn("dot", dotExpr(col("q_emb"), col("n_emb")))
-        .withColumn("qn", sqrt(dotExpr(col("q_emb"), col("q_emb"))))
-        .withColumn("nn", sqrt(dotExpr(col("n_emb"), col("n_emb"))))
+        .withColumn("dot", vec_dot(col("q_emb"), col("n_emb")))
         .withColumn("sim", round(col("dot") / (col("qn") * col("nn")), 4))
       val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("n_id"))
       joined.withColumn("rn", row_number().over(w))

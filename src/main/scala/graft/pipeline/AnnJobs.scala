@@ -29,10 +29,19 @@ import org.apache.spark.sql.functions._
   * corpus pass, never an iterative cluster-side fit. */
 object AnnJobs {
 
-  /** Exact dot product of two float-array columns as doubles. */
-  private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Exact dot product of two float/double-array columns as doubles —
+    * the native [[graft.plans.VecDotExpr]] kernel, bit-identical
+    * (fold-left in index order from 0.0, float→double exact widening)
+    * to the `aggregate(zip_with(...))` composed form it replaced, which
+    * ran INTERPRETED with a lambda dispatch per element. Registers on
+    * the active/default session so callers need no prior register()
+    * (the LmQuality.trigramList discipline). */
+  private def dot(x: Column, y: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(graft.plans.VecExprs.register)
+    graft.plans.VecExprs.vec_dot(x, y)
+  }
 
   /** Let-binding for Column expressions: evaluate `v` ONCE per row and
     * reference the bound value from `body`. Spark's higher-order builtins

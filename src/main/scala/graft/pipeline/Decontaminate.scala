@@ -43,7 +43,12 @@ object Decontaminate {
     val sh = shingles(documents, k)
     val test = sh.filter(col("doc_id") % testMod === 0)
       .select(col("doc_id").as("test_doc_id"), col("shingle"))
-    val corpus = sh.filter(col("doc_id") % testMod =!= 0)
+    // the corpus-side shingle explode feeds BOTH the document-frequency
+    // cap and the overlap join — persist it once (released via
+    // DedupJobs.releaseCached) instead of re-shingling the corpus per
+    // consumer; the test side stays lazy (its doc_id filter pushes below
+    // the explode, so it shingles ~1/testMod of the docs)
+    val corpus = DedupJobs.cacheTracked(sh.filter(col("doc_id") % testMod =!= 0))
     val keep = corpus.groupBy("shingle")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -69,7 +74,8 @@ object Decontaminate {
     val sh = shingles(documents, k)
     val test = sh.filter(col("doc_id") % testMod === 0)
       .select(col("doc_id").as("test_doc_id"), col("shingle"))
-    val corpus = sh.filter(col("doc_id") % testMod =!= 0)
+    // same double-consumer persist as [[contaminated]]
+    val corpus = DedupJobs.cacheTracked(sh.filter(col("doc_id") % testMod =!= 0))
     val keep = corpus.groupBy("shingle")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)

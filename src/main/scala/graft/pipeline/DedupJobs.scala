@@ -55,6 +55,12 @@ object DedupJobs {
     }
   }
 
+  /** [[cache]] for sibling pipeline operators (Decontaminate, SubstrDedup)
+    * whose multiply-consumed intermediates follow the same persist/release
+    * lifecycle — one queue, one [[releaseCached]], so a long-lived session
+    * (and the bench's between-reps release) frees everything at once. */
+  private[pipeline] def cacheTracked(df: DataFrame): DataFrame = cache(df)
+
   /** Unpersist every intermediate persisted by dedup pipelines since the
     * last release. Safe to call anytime; lazily recomputed if a returned
     * DataFrame is re-consumed afterwards. */
@@ -135,7 +141,18 @@ object DedupJobs {
     * only for deterministic oracle comparison — consumers that feed the
     * pairs into another operator (connected components, the training
     * pipeline) would otherwise pay a range-partitioning exchange + sort
-    * whose order the next shuffle immediately destroys. */
+    * whose order the next shuffle immediately destroys.
+    *
+    * Verify stage is IN-ROW set intersection, not a token-explode join:
+    * each candidate doc's distinct-token ARRAY (one row per doc, built in
+    * one compiled pass) joins onto the pair table by doc id, and
+    * `|A∩B| / (|A|+|B|-|A∩B|)` is computed per pair with
+    * `array_intersect`/`size` — identical exact-Jaccard semantics. The
+    * former explode shape shuffled one row per (pair, token) through two
+    * joins and a groupBy (pairs × avg-token-count rows) plus two size
+    * joins; this shape shuffles each candidate doc's token array once per
+    * side and nothing else — candidate-bounded bytes either way, but
+    * ~tokens-per-doc× fewer shuffled rows and 3 fewer shuffles. */
   def minhashVerifiedPairs(docs: DataFrame, numHashes: Int = 8, bands: Int = 4,
                            bucketCap: Int = 200,
                            jaccardThreshold: Double = 0.5): DataFrame = {
@@ -143,28 +160,23 @@ object DedupJobs {
     // pair table is tiny relative to the corpus, so persist it rather than
     // recompute the banded-join lineage (at cluster scale: checkpoint it).
     val cand = cache(candidatePairs(docs, numHashes, bands, bucketCap))
-    // Explode token sets ONLY for docs that appear in a candidate pair —
-    // the semi-join prunes the verify stage's token volume from
-    // corpus-bounded to candidate-bounded before any token leaves a row.
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    // tokSets feeds the size aggregate and both verify-join sides; persist
-    // the (candidate-bounded, tiny) token rows instead of re-scanning and
-    // re-tokenizing the corpus per consumer.
-    val tokSets = cache(docs.join(candDocs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok")))
-    val sizes = tokSets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-
-    val inter = cand
-      .join(tokSets.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
-      .join(tokSets.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    // Tokenize ONLY docs that appear in a candidate pair (in-row fanout of
+    // both pair ends + semi-join prune), once per doc.
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val tokSets = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
 
     val jac = col("inter").cast("double") /
       (col("na") + col("nb") - col("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+    cand
+      .join(tokSets.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+        Seq("doc_a"))
+      .join(tokSets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).as("inter"),
+        size(col("toks_a")).as("na"), size(col("toks_b")).as("nb"))
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -493,27 +505,30 @@ object DedupJobs {
 
     // Exact-Jaccard verify, candidate-bounded on BOTH sides: indexed docs'
     // tokens come from the corpus table, new docs' tokens from the
-    // snapshot — only docs in a candidate pair are ever tokenized here.
-    val tokA = cache(corpus
+    // snapshot — only docs in a candidate pair are ever tokenized here,
+    // ONE distinct-token array per doc, and the intersection is computed
+    // IN-ROW per pair (`array_intersect`/`size` — the same shape as the
+    // batch [[minhashVerifiedPairs]] verify; the former token-explode
+    // joins shuffled pairs × tokens rows through two joins + a groupBy).
+    val tokA = corpus
       .join(cand.select(col("doc_a").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok")))
-    val tokB = cache(newDocs
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    val tokB = newDocs
       .join(cand.select(col("doc_b").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok")))
-    val sizesA = tokA.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
-    val sizesB = tokB.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
 
-    val inter = cand
-      .join(tokA.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
-      .join(tokB.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     val jac = col("inter").cast("double") /
       (col("na") + col("nb") - col("inter"))
-    inter
-      .join(sizesA.select(col("doc_id").as("doc_a"), col("na")), Seq("doc_a"))
-      .join(sizesB.select(col("doc_id").as("doc_b"), col("nb")), Seq("doc_b"))
+    cand
+      .join(tokA.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+        Seq("doc_a"))
+      .join(tokB.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).as("inter"),
+        size(col("toks_a")).as("na"), size(col("toks_b")).as("nb"))
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))

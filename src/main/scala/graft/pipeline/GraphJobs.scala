@@ -158,8 +158,27 @@ object GraphJobs {
     * connectedComponents). The fixed iteration count is the published
     * practical choice for web graphs (convergence to ranking stability
     * in tens of iterations; callers pick). */
-  def pageRank(edges: DataFrame, iterations: Int, damping: Double): DataFrame = {
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double,
+               driverEdgeLimit: Long = 500000L): DataFrame = {
+    // Materialize the edge table ONCE: every downstream consumer (node
+    // set, out-weights, dangling set — and the size dispatch's count)
+    // previously re-executed the full incoming lineage (link extraction →
+    // host aggregation) per reference.
     val e = edges.select(col("src"), col("dst"), col("weight").cast("double").as("w"))
+      .localCheckpoint(true)
+    // SIZE DISPATCH (the [[DedupJobs.connectedComponents]] discipline):
+    // host-level graphs are orders of magnitude below page counts; when
+    // the edge table fits the bounded-driver-work budget, the iteration
+    // runs driver-local — zero barrier jobs per step instead of a
+    // join + aggregate + checkpoint round trip over tiny tables. Ranks
+    // agree with the distributed loop to FP-summation noise (the reason
+    // callers report ppm-rounded ranks); the differential is pinned in
+    // GraphSpec. Pass 0 to force the distributed path.
+    if (driverEdgeLimit > 0 &&
+        e.schema("src").dataType == org.apache.spark.sql.types.StringType &&
+        e.schema("dst").dataType == org.apache.spark.sql.types.StringType &&
+        e.count() <= driverEdgeLimit)
+      return pageRankDriverLocal(e, iterations, damping)
     val nodes = e.select(col("src").as("site"))
       .union(e.select(col("dst").as("site")))
       .distinct()
@@ -190,6 +209,66 @@ object GraphJobs {
       i += 1
     }
     ranks
+  }
+
+  /** Driver-local PageRank over a collected (src, dst, w) edge table: the
+    * identical damped iteration with dangling-mass redistribution, run in
+    * plain arrays with a DETERMINISTIC (sorted) summation order. Returns
+    * the same (site, rank) schema as the distributed loop. */
+  private def pageRankDriverLocal(e: DataFrame, iterations: Int,
+                                  damping: Double): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.collect()
+    val siteSet = scala.collection.mutable.TreeSet.empty[String]
+    rows.foreach { r => siteSet += r.getString(0); siteSet += r.getString(1) }
+    val sites = siteSet.toArray // sorted: deterministic iteration order
+    val n = sites.length
+    require(n > 0, "pageRank: empty graph")
+    val idx = sites.zipWithIndex.toMap
+    // per-edge share of its source's rank (static across iterations)
+    val srcI = new Array[Int](rows.length)
+    val dstI = new Array[Int](rows.length)
+    val w = new Array[Double](rows.length)
+    val outW = new Array[Double](n)
+    // sorted edge order so out-weight and contribution sums are stable
+    val order = rows.indices.sortBy(i => (rows(i).getString(0), rows(i).getString(1)))
+    var j = 0
+    while (j < order.length) {
+      val r = rows(order(j))
+      srcI(j) = idx(r.getString(0)); dstI(j) = idx(r.getString(1))
+      w(j) = r.getDouble(2); outW(srcI(j)) += w(j)
+      j += 1
+    }
+    val share = Array.tabulate(order.length)(j => w(j) / outW(srcI(j)))
+    var rank = Array.fill(n)(1.0 / n)
+    var it = 0
+    while (it < iterations) {
+      var dm = 0.0
+      var v = 0
+      while (v < n) { if (outW(v) == 0.0) dm += rank(v); v += 1 }
+      val contrib = new Array[Double](n)
+      j = 0
+      while (j < order.length) {
+        contrib(dstI(j)) += share(j) * rank(srcI(j)); j += 1
+      }
+      val next = new Array[Double](n)
+      v = 0
+      while (v < n) {
+        next(v) = (1.0 - damping) / n + damping * (contrib(v) + dm / n)
+        v += 1
+      }
+      rank = next
+      it += 1
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("site",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        sites.indices.map(v =>
+          org.apache.spark.sql.Row(sites(v), rank(v))).toSeq, 1), schema)
   }
 
   /** Anchor-text aggregation: the top-k anchor strings pointing at each

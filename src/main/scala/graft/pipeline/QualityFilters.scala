@@ -47,11 +47,15 @@ object QualityFilters {
     // re-match without a preceding space)
     val alphaWords = regexp_count(nt, lit("(?:^| )[^ ]*[A-Za-z]"))
     val alphaRatio = when(n === 0, lit(0.0)).otherwise(alphaWords.cast("double") / n)
-    // distinct stopword types present, as 8 anchored existence tests —
-    // avoids materializing a lowered token array per row
-    val nStop = stopwords.map(s =>
-      when(nt.rlike("(?i)(?:^| )" + s + "(?: |$)"), 1).otherwise(0))
-      .reduce(_ + _)
+    // distinct stopword types present in ONE regex pass (alternation +
+    // lookahead so consecutive stopwords still match), instead of 8
+    // separate anchored rlike scans over the full text per row. The
+    // extraction runs over lower(nt) with lowercase alternatives —
+    // identical (ASCII) semantics to the (?i) existence tests it
+    // replaces; distinct-type count = distinct extracted words.
+    val stopAlt = stopwords.mkString("|")
+    val nStop = size(array_distinct(regexp_extract_all(
+      lower(nt), lit(s"(?:^| )($stopAlt)(?= |$$)"), lit(1))))
 
     documents
       .withColumn("word_count", n.cast("long"))
@@ -84,6 +88,7 @@ object QualityFilters {
     * (doc_id, gram) groupBy — shuffles by doc key only, the same scale
     * shape as the layout furniture removal. */
   def repetitionSignals(documents: DataFrame): DataFrame = {
+    graft.plans.TextHashExprs.register(documents.sparkSession)
     val nt = trim(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " "))
     val lines = filter(
       transform(split(coalesce(col("text"), lit("")), "\n"), l => trim(l)),
@@ -91,29 +96,21 @@ object QualityFilters {
     val base = documents.select(
       col("doc_id").cast("long").as("doc_id"), nt.as("nt"), lines.as("lines"))
 
+    // the top 2-gram is computed IN-ROW by the compiled top_2gram kernel
+    // (one hash-map pass per doc, count-desc/gram-asc tie-break identical
+    // to the former explode → groupBy(doc_id, gram) → window rank, which
+    // shuffled one row per 2-gram occurrence through two exchanges plus a
+    // join back). The whole operator is now map-only.
     val dupLine = base.select(
       col("doc_id"), col("nt"),
       when(size(col("lines")) === 0, lit(0.0))
         .otherwise((size(col("lines")) - size(array_distinct(col("lines"))))
-          .cast("double") / size(col("lines"))).as("dup_line_frac"))
+          .cast("double") / size(col("lines"))).as("dup_line_frac"),
+      graft.plans.TextHashExprs.top_2gram(col("nt")).as("tg"))
 
-    val grams = base
-      .filter(col("nt") =!= "")
-      .select(col("doc_id"), split(col("nt"), " ").as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(0), size(col("toks")) - 2),
-          i => array_join(slice(col("toks"), i + 1, lit(2)), " "))).as("gram"))
-    val counts = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("cnt").desc, col("gram"))
-    val top = counts
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("gram").as("top_2gram"), col("cnt").as("top_2gram_count"))
-
-    dupLine.join(top, Seq("doc_id"), "left")
+    dupLine
+      .withColumn("top_2gram", col("tg.gram"))
+      .withColumn("top_2gram_count", col("tg.cnt"))
       .select(
         col("doc_id"),
         round(col("dup_line_frac"), 4).as("dup_line_frac"),

@@ -64,18 +64,36 @@ object SamplingJobs {
     * [[stratifiedSample]] (a rand()-ranked cap silently changes the
     * corpus on task retry; a first-k-seen cap depends on scan order).
     * Emits the rank as `rk` (1-based) so the selection is auditable.
+    * `key` must identify rows within a host (duplicate (host, key) rows
+    * would tie the rank, which even the window form ordered arbitrarily).
     *
-    * Shape at 100 TB: one shuffle on `host` + a per-host sort-window.
-    * Host cardinality is ~1e8-1e9 at web scale, so partitions hold many
-    * small groups; a single megasite host skews its one partition only
-    * and AQE's skew handling splits it. For tiny `k` a two-phase
-    * top-k-per-group (partial heap per map task) would cut the shuffle
-    * to k rows/host/task — the window form keeps the audit rank exactly
-    * replayable in SQL, which is what the oracle pins. */
+    * Shape at 100 TB — TWO-PHASE top-k, not a per-host window: a window
+    * rank must colocate ALL of a host's rows in ONE task before sorting
+    * (AQE's skew splitting applies to joins/rebalance, NOT to window
+    * partitions), so a megasite (1e8+ pages) serializes on one sorting
+    * task. Instead:
+    *  1. `topk_min` ([[graft.plans.TopKMinAgg]]) aggregates the k
+    *     smallest (md5 rank, key) pairs per host with a BOUNDED buffer —
+    *     the map-side partial holds at most k entries per (host, map
+    *     task), so no exchange carries more than k·numPartitions rows
+    *     per host, and only (rank, key) bytes shuffle, never payload;
+    *  2. the winner list (array position + 1 = the exact rank) joins
+    *     back null-safely on (host, key) — k·hosts rows, the broadcast /
+    *     bloom-prunable side — to recover full rows. Identical rows and
+    *     ranks to the window form (differential-tested in SamplingSpec
+    *     on a 90%-one-host skew fixture). */
   def hostQuota(df: DataFrame, host: Column, key: Column, k: Int): DataFrame = {
     require(k > 0, s"non-positive host quota $k")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(host)
-      .orderBy(md5(key.cast("string").cast("binary")), key)
-    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    graft.plans.TopKMinAgg.register(df.sparkSession)
+    val winners = df
+      .groupBy(host.as("__hq_host"))
+      .agg(call_function("topk_min",
+        md5(key.cast("string").cast("binary")), key, lit(k)).as("__top"))
+      .select(col("__hq_host"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("__hq_host"), col("__e.key").as("__hq_key"),
+        (col("__pos") + 1).cast("int").as("rk"))
+    df.join(winners, host <=> col("__hq_host") && key <=> col("__hq_key"))
+      .drop("__hq_host", "__hq_key")
   }
 }

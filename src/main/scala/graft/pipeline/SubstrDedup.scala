@@ -66,7 +66,14 @@ object SubstrDedup {
   /** Full rewrite: `(doc_id, n_cov, text_clean)` for every input doc. */
   def dedupText(docs: DataFrame, w: Int = 50): DataFrame = {
     val t = coalesce(col("text"), lit(""))
-    val wd = windows(docs, w)
+    // the window table feeds the duplicate-hash aggregate AND the
+    // candidate probe join — persist it once (released via
+    // DedupJobs.releaseCached) so the stride-1 hash pass over the corpus
+    // runs once, not once per consumer. The persisted rows are the fixed
+    // 12-byte (pos, h) pairs, the same O(total chars) volume the groupBy
+    // shuffles anyway; at cluster scale this is the intermediate you'd
+    // checkpoint (or recompute if storage is tighter than CPU).
+    val wd = DedupJobs.cacheTracked(windows(docs, w))
 
     // duplicate-hash candidates: windows whose hash is seen in >= 2
     // distinct docs (fixed-width shuffle; the output is duplicate-rate

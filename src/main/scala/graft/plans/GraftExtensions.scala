@@ -120,5 +120,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("remove_intervals"),
       new ExpressionInfo(classOf[RemoveIntervalsExpr].getName, "remove_intervals"),
       (exprs: Seq[Expression]) => RemoveIntervalsExpr(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("top_2gram"),
+      new ExpressionInfo(classOf[Top2GramExpr].getName, "top_2gram"),
+      (exprs: Seq[Expression]) => Top2GramExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDotExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("topk_min"),
+      new ExpressionInfo(classOf[TopKMinAgg].getName, "topk_min"),
+      (exprs: Seq[Expression]) => TopKMinAgg.fromExprs(exprs)))
   }
 }

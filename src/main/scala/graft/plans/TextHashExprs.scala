@@ -280,6 +280,52 @@ object TextHashExprs {
     * session: every re-registration logs a `SimpleFunctionRegistry` WARN per
     * function, and query closures call this defensively, so a bench run
     * would otherwise spam dozens of replaced-function warnings. */
+  /** Most frequent word 2-gram of a single-space-normalized string, as
+    * (gram, count) — ties broken to the binary-smallest gram, exactly the
+    * `(count DESC, gram ASC)` window rank over exploded 2-gram rows it
+    * replaces (UTF8String.compareTo IS Spark's string sort order). One
+    * compiled pass, one hash map per row, no explode/shuffle. NULL when
+    * the string has fewer than two tokens (those docs produced no 2-gram
+    * row for the window to rank). */
+  def top2gram(nt: UTF8String): InternalRow = {
+    val bytes = nt.getBytes
+    val n = bytes.length
+    // token start offsets (normalized input: single 0x20 separators, no
+    // leading/trailing space — the same tokens split(nt, ' ') yields)
+    var nTok = if (n == 0) 0 else 1
+    var i = 0
+    while (i < n) { if (bytes(i) == ' '.toByte) nTok += 1; i += 1 }
+    if (nTok < 2) return null
+    val starts = new Array[Int](nTok)
+    var t = 1
+    i = 0
+    while (i < n) {
+      if (bytes(i) == ' '.toByte) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    val counts = new java.util.HashMap[UTF8String, Array[Int]]()
+    var g = 0
+    while (g < nTok - 1) {
+      val from = starts(g)
+      val until = if (g + 2 < nTok) starts(g + 2) - 1 else n
+      val gram = UTF8String.fromBytes(bytes, from, until - from)
+      val c = counts.get(gram)
+      if (c == null) counts.put(gram, Array(1)) else c(0) += 1
+      g += 1
+    }
+    var bestGram: UTF8String = null
+    var bestCnt = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue()(0)
+      if (c > bestCnt || (c == bestCnt && e.getKey.compareTo(bestGram) < 0)) {
+        bestGram = e.getKey; bestCnt = c
+      }
+    }
+    new GenericInternalRow(Array[Any](bestGram.clone(), bestCnt.toLong))
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(
@@ -298,6 +344,8 @@ object TextHashExprs {
         "windows_at", exprs => WindowsAtExpr(exprs(0), exprs(1), exprs(2)), "built-in")
       reg.createOrReplaceTempFunction(
         "remove_intervals", exprs => RemoveIntervalsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "top_2gram", exprs => Top2GramExpr(exprs.head), "built-in")
     }
   }
 
@@ -314,6 +362,32 @@ object TextHashExprs {
     call_function("windows_at", t, ps, w)
   def remove_intervals(t: Column, ps: Column, w: Column): Column =
     call_function("remove_intervals", t, ps, w)
+  def top_2gram(nt: Column): Column = call_function("top_2gram", nt)
+}
+
+/** `top_2gram(nt)` — most frequent word 2-gram + count of a normalized
+  * string; NULL below two tokens (see [[TextHashExprs.top2gram]]). */
+case class Top2GramExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "top_2gram"
+  override def dataType: DataType = StructType(Seq(
+    StructField("gram", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false)))
+  // NULL for non-null input (< 2 tokens): nullable forced true, codegen
+  // re-checks the kernel result (the FeedEntriesExpr discipline)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashExprs.top2gram(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.TextHashExprs.top2gram($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Top2GramExpr =
+    copy(child = newChild)
 }
 
 /** `window_hashes(text, w)` — stride-1 window positions + xxhash64

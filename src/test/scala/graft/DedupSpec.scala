@@ -50,6 +50,35 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("in-row verify == legacy token-explode verify, full output") {
+    // the in-row array_intersect verify must emit EXACTLY the pairs and
+    // jaccards of the explode-join form it replaced (stated inline here
+    // as the reference implementation)
+    val cand = DedupJobs.candidatePairs(docs, 8, 4, 200)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val tokSets = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(array_distinct(DedupJobs.tokens(col("text")))).as("tok"))
+    val sizes = tokSets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(tokSets.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(tokSets.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val legacy = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = DedupJobs.minhashVerifiedPairs(docs, 8, 4, 200, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    DedupJobs.releaseCached()
+    assert(got.nonEmpty && got == legacy)
+  }
+
   test("capped ngram-jaccard: hot shingles carry no pairs, rare shingles still match") {
     import spark.implicits._
     // every doc shares the hot phrase; only docs 1 and 2 share rare content

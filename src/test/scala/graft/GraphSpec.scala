@@ -217,6 +217,19 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank: driver-local dispatch == forced distributed loop (ppm)") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L),
+      ("b", "d", 2L), ("c", "d", 1L), ("e", "a", 5L))
+    val df = edges.toDF("src", "dst", "weight")
+    val local = GraphJobs.pageRank(df, 4, 0.85)
+      .collect().map(r => r.getString(0) -> math.round(r.getDouble(1) * 1e6)).toMap
+    val dist = GraphJobs.pageRank(df, 4, 0.85, driverEdgeLimit = 0L)
+      .collect().map(r => r.getString(0) -> math.round(r.getDouble(1) * 1e6)).toMap
+    assert(local == dist)
+  }
+
   test("pageRank: a sink accumulates rank; uniform graph stays uniform") {
     import spark.implicits._
     // star into a sink: everyone points at z

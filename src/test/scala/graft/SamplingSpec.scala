@@ -95,4 +95,36 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b)
   }
+
+  test("hostQuota two-phase top-k == the single-window rank on a 90%-one-host skew") {
+    // the scale-shape differential: the bounded-aggregate form must pick
+    // exactly the rows (and ranks) the per-host window rank picks, on a
+    // fixture where one megahost owns 90% of the rows (the hot-partition
+    // case the two-phase form exists for)
+    import spark.implicits._
+    val k = 7
+    val rows = (0L until 2000L).map { i =>
+      val host = if (i % 10 != 0) "megahost" else s"host${i % 97}"
+      (i, host, s"payload$i")
+    }
+    val df = rows.toDF("doc_id", "host", "payload").repartition(8)
+    val got = SamplingJobs.hostQuota(df, col("host"), col("doc_id"), k)
+    // reference: the window form, stated inline
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("host"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    val ref = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    val gotRows = got.select("doc_id", "host", "payload", "rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    val refRows = ref.select("doc_id", "host", "payload", "rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(gotRows == refRows)
+    assert(gotRows.count(_._2 == "megahost") == k)
+
+    // plan shape: the rank must come from a partial (map-side) topk_min
+    // aggregate — bounded at k entries per host per map task — never from
+    // a per-host window sort (the hot-partition shape)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_min"), plan)
+    assert(!plan.toLowerCase.contains("window"), plan)
+  }
 }

@@ -208,4 +208,43 @@ class TextHashSpec extends AnyFunSuite {
       assert(r.getString(3) == r.getString(4), s"remove_intervals doc ${r.getLong(0)}")
     }
   }
+
+  test("top_2gram equals the explode/groupBy/window rank, ties included") {
+    import spark.implicits._
+    TextHashExprs.register(spark)
+    // fixture exercises: a dominating repeat, an all-unique tie (the
+    // binary-smallest gram must win), single-token/empty null cases, and
+    // multi-byte tokens
+    val docs = Seq(
+      (1L, "spam ham spam ham spam ham spam"),
+      (2L, "all grams here are unique words only"),
+      (3L, "one"),
+      (4L, ""),
+      (5L, "中文 词 中文 词 中文 mixed ascii"),
+      (6L, "z z a a z z")
+    ).toDF("doc_id", "nt")
+    val ref = {
+      val grams = docs.filter(col("nt") =!= "")
+        .select(col("doc_id"), split(col("nt"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("toks")) - 2),
+          i => array_join(slice(col("toks"), i + 1, lit(2)), " "))).as("gram"))
+      val counts = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("cnt").desc, col("gram"))
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("gram"), col("cnt"))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    }
+    val got = docs
+      .select(col("doc_id"), TextHashExprs.top_2gram(col("nt")).as("tg"))
+      .collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null
+          else (r.getStruct(1).getString(0), r.getStruct(1).getLong(1)))
+      }.toMap
+    assert(got(3L) == null && got(4L) == null)
+    ref.foreach { case (id, want) => assert(got(id) == want, s"doc $id") }
+    assert(ref.keySet == got.filter(_._2 != null).keySet)
+  }
 }
