@@ -235,12 +235,15 @@ object SparkEntry {
       val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
       // in-row min over the array = groupBy-min over exploded tokens; docs
       // with zero tokens fell out of the GROUP BY, so filter them the same.
-      val bands = d.withColumn("toks", toks)
+      // The band table feeds BOTH sides of BOTH band self-joins (4 plan
+      // references): persist it once (released via releaseCached) so the
+      // signature scan over the corpus runs once, not four times.
+      val bands = graft.pipeline.DedupJobs.cacheTracked(d.withColumn("toks", toks)
         .filter(size(col("toks")) > 0)
         .withColumn("sig", graft.plans.TextHashExprs.minhash_sig(col("toks"), lit(4)))
         .select(col("doc_id"),
           md5(concat(element_at(col("sig"), 1), element_at(col("sig"), 2))).as("b0"),
-          md5(concat(element_at(col("sig"), 3), element_at(col("sig"), 4))).as("b1"))
+          md5(concat(element_at(col("sig"), 3), element_at(col("sig"), 4))).as("b1")))
       def pairsOn(b: String): DataFrame = {
         val l = bands.select(col("doc_id").as("doc_a"), col(b).as("bh"))
         val r = bands.select(col("doc_id").as("doc_b"), col(b).as("bh"))
@@ -838,7 +841,9 @@ object SparkEntry {
       // materialization each consumer re-runs the word explode. A real
       // deployment reads blocks from a (re-scannable, pushdown-friendly)
       // table — one eager localCheckpoint is the synthetic stand-in's
-      // honest equivalent.
+      // honest equivalent (a lazy persist was MEASURED SLOWER here:
+      // independent consumer stages race on the uncached blocks and
+      // duplicate the explode — r6 bench 1.25 s eager vs 2.11 s lazy).
       val blocks = graft.pipeline.LayoutJob.synthesizeBlocks(s, docs)
         .localCheckpoint()
       val kept = graft.pipeline.LayoutJob.removeFurniture(s, blocks)
@@ -877,13 +882,16 @@ object SparkEntry {
     "q_training_pipeline" -> ((s, dir) => {
       // Every stage boundary whose output is consumed MORE THAN ONCE is
       // materialized exactly once (round-3 verdict #2): Spark re-executes a
-      // DataFrame's full lineage per consumer, so without the checkpoints
+      // DataFrame's full lineage per consumer, so without materialization
       // the six summary aggregates would re-run the gopher filter ~5x, the
       // dedup window ~4x and the decontamination join ~2x. localCheckpoint
       // here = persist-to-executors in local mode; a real 100-TB run would
       // use reliable checkpoint()/an intermediate table for the same cut.
       // Checkpoint blocks are freed by the ContextCleaner once the
-      // DataFrames go out of scope.
+      // DataFrames go out of scope. (A lazy tracked persist at these
+      // boundaries was MEASURED SLOWER — the summary's independent
+      // aggregate stages race on uncached partitions and duplicate the
+      // stage compute; the eager cut serializes each stage exactly once.)
       val docs = t(s, dir, "documents")
       val q = graft.pipeline.QualityFilters.gopherSignals(docs).filter(col("passes"))
       val nt = trim(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " "))

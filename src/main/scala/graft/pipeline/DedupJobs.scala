@@ -55,11 +55,12 @@ object DedupJobs {
     }
   }
 
-  /** [[cache]] for sibling pipeline operators (Decontaminate, SubstrDedup)
-    * whose multiply-consumed intermediates follow the same persist/release
-    * lifecycle — one queue, one [[releaseCached]], so a long-lived session
-    * (and the bench's between-reps release) frees everything at once. */
-  private[pipeline] def cacheTracked(df: DataFrame): DataFrame = cache(df)
+  /** [[cache]] for sibling operators (Decontaminate, SubstrDedup, the
+    * SparkEntry pipelines) whose multiply-consumed intermediates follow
+    * the same persist/release lifecycle — one queue, one
+    * [[releaseCached]], so a long-lived session (and the bench's
+    * between-reps release) frees everything at once. */
+  private[graft] def cacheTracked(df: DataFrame): DataFrame = cache(df)
 
   /** Unpersist every intermediate persisted by dedup pipelines since the
     * last release. Safe to call anytime; lazily recomputed if a returned

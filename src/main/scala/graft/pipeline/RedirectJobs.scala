@@ -74,6 +74,12 @@ object RedirectJobs {
   def resolveChains(spark: SparkSession, fetches: DataFrame,
                     maxHops: Int = 8): DataFrame = {
     require(maxHops >= 1, "resolveChains: maxHops must be >= 1")
+    // Per-round EAGER localCheckpoints, deliberately: each round's
+    // stepped table is consumed twice (done split + next pending), and a
+    // lazy persist was MEASURED SLOWER (r6 bench 0.48 s eager vs 0.74 s
+    // lazy) — the done/pending consumer stages race on the uncached
+    // rounds and duplicate the join work; the eager cut runs each round
+    // exactly once.
     val hops = hopTable(spark, fetches).localCheckpoint(true)
     val info = hops.select(col("url").as("cur"),
       col("status").as("cur_status"), col("dst"))
