@@ -128,7 +128,16 @@ object LmQuality {
 
   /** Train-on-self convenience: the CCNet shape with the corpus itself
     * as the reference distribution (a curated reference corpus slots in
-    * by passing its model instead). */
+    * by passing its model instead).
+    *
+    * Deliberately TWO fused explode passes (train, then score), not one
+    * persisted trigram table: materializing the exploded (doc_id, lang,
+    * tri) rows was MEASURED SLOWER (r6 bench 0.84 s fused vs 1.78 s
+    * persisted) — each explode pipelines straight into a partial
+    * aggregate / broadcast join inside one codegen stage, while the
+    * persist pays a full cache write + read of the widest intermediate
+    * in the query. Recompute-over-materialize is the right trade when
+    * the producer is a cheap fused scan. */
   def perplexityBuckets(docs: DataFrame): DataFrame = {
     val (model, floors) = trainTrigramModel(docs)
     scoreAndBucket(docs, model, floors)

@@ -76,11 +76,14 @@ object SubstrDedup {
     val wd = DedupJobs.cacheTracked(windows(docs, w))
 
     // duplicate-hash candidates: windows whose hash is seen in >= 2
-    // distinct docs (fixed-width shuffle; the output is duplicate-rate
-    // bounded and AQE broadcasts it into the probe join)
+    // distinct docs — tested as min(doc_id) != max(doc_id), which is a
+    // SINGLE partial-aggregating pass; count_distinct(doc_id) re-groups
+    // on (h, doc_id) first, a second exchange-and-aggregate the >= 2
+    // predicate never needed. (Output is duplicate-rate bounded and AQE
+    // broadcasts it into the probe join.)
     val hot = wd.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("h")
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1")).select("h")
 
     // verify on the actual text: candidate rows re-extract their window
     // and must STILL be cross-doc duplicated as strings. Positions are
@@ -95,9 +98,10 @@ object SubstrDedup {
         .windows_at(col("t"), col("cps"), lit(w))).as("win"))
       .select(col("doc_id"), col("win.pos").as("pos"), col("win.s").as("s"))
       .localCheckpoint()
+    // same single-pass >= 2-distinct-docs test as `hot`
     val verified = candS.groupBy("s")
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("s")
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1")).select("s")
     val covered = candS.join(verified, "s").select(col("doc_id"), col("pos"))
 
     // per-doc sorted interval starts (small ints), then one equi-join
