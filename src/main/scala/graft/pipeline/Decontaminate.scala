@@ -20,19 +20,28 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Per-document DISTINCT k-token shingle hashes, deduped in-row. */
+  /** Per-document DISTINCT k-token shingle hashes, deduped in-row.
+    *
+    * Shingle md5s come from the ONE-PASS compiled kernel
+    * [[graft.plans.TextHashExprs.tokenShinglesMd5]] — bit-identical to the
+    * composed `split` + `transform(slice/array_join/md5)` form it replaced
+    * (DecontaminateSpec pins the full differential): since `nt` is
+    * single-space-normalized, each space-joined k-token window IS a byte
+    * range of `nt`, so the kernel feeds md5 the same bytes without the
+    * per-window slice/join/array allocations (measured ~25% of
+    * q_decontaminate). Docs with fewer than k tokens yield an empty array
+    * (the composed form's `size(toks) >= k` pre-filter), which `explode`
+    * then drops. */
   def shingles(documents: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"shingle size must be positive, got $k")
+    graft.plans.TextHashExprs.register(documents.sparkSession)
     val nt = trim(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " "))
     documents
       .select(col("doc_id").cast("long").as("doc_id"), nt.as("nt"))
       .filter(col("nt") =!= "")
-      .select(col("doc_id"), split(col("nt"), " ").as("toks"))
-      .filter(size(col("toks")) >= k)
       .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(0), size(col("toks")) - k),
-          i => md5(array_join(slice(col("toks"), i + 1, lit(k)), " "))))).as("shingle"))
+        explode(graft.plans.TextHashExprs
+          .token_shingles_md5(col("nt"), lit(k))).as("shingle"))
   }
 
   /** Contaminated training documents: share at least one k-shingle (with

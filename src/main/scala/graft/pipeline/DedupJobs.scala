@@ -391,10 +391,20 @@ object DedupJobs {
     * ever exploded into the shuffle. */
   def ngramJaccardCapped(docs: DataFrame, n: Int = 3, dfCap: Int = 50,
                          threshold: Double = 0.6): DataFrame = {
+    graft.plans.TextHashExprs.register(docs.sparkSession)
     val nt = lower(regexp_replace(col("text"), "\\s+", " "))
-    val shingles = array_distinct(transform(
-      sequence(lit(1), greatest(length(col("nt")) - (n - 1), lit(1))),
-      i => col("nt").substr(i, lit(n))))
+    // One-pass compiled n-gram kernel: the composed
+    // `transform(sequence(...), i -> substr(nt, i, n))` form is O(len²) —
+    // every builtin substr re-scans the UTF8String's variable-width bytes
+    // from position 0 (the exact defect class char_ngrams was built for;
+    // see TextHashExprs.charNgrams). Branch order preserves the composed
+    // form's edge semantics exactly: len < n → [nt] itself (the old
+    // sequence(1, greatest(len-(n-1), 1)) yielded the single short window),
+    // null nt → null (char_ngrams null-propagates in the otherwise branch,
+    // where a null condition also lands).
+    val shingles = when(length(col("nt")) < n, array(col("nt")))
+      .otherwise(array_distinct(
+        graft.plans.TextHashExprs.char_ngrams(col("nt"), lit(n))))
     // tri feeds the document-frequency aggregate and the cap join; kept
     // feeds the size aggregate and both pair-join sides. Persist both (the
     // distinct-shingle rows are corpus-vocabulary-bounded, far smaller than

@@ -125,6 +125,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Top2GramExpr].getName, "top_2gram"),
       (exprs: Seq[Expression]) => Top2GramExpr(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("token_shingles_md5"),
+      new ExpressionInfo(classOf[TokenShinglesMd5Expr].getName, "token_shingles_md5"),
+      (exprs: Seq[Expression]) => TokenShinglesMd5Expr(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDotExpr(exprs(0), exprs(1))))

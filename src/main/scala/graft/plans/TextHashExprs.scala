@@ -28,6 +28,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextHashExprs {
 
+  // MessageDigest MD5 is the RIGHT primitive here and a hand-rolled MD5 is
+  // NOT: HotSpot intrinsifies the MD5 compress function (JDK 16+,
+  // _md5_implCompress), so a pure-Java RFC 1321 reimplementation measured
+  // ~2x SLOWER per call (112 vs 230 ns at 6-40-byte inputs, round-6
+  // microbench; the full experiment — assembled padding buffer, zero
+  // per-call allocation — was built, differential-tested green, and
+  // REVERTED on those numbers, q_dedup_simhash 0.44->0.51 s end to end).
   private val md5Local = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
@@ -326,6 +333,55 @@ object TextHashExprs {
     new GenericInternalRow(Array[Any](bestGram.clone(), bestCnt.toLong))
   }
 
+  /** Distinct md5 hex digests of every `k`-token window of a single-space-
+    * separated string, in ONE compiled pass — bit-identical to the composed
+    * `array_distinct(transform(sequence(0, size(toks)-k),
+    * i -> md5(array_join(slice(toks, i+1, k), ' '))))` over
+    * `toks = split(nt, ' ')`: because the separator is the same single
+    * space, each joined window IS the byte range of `nt` from the start of
+    * token i to the end of token i+k-1, so the md5 is fed the identical
+    * bytes with zero slice/join allocation. Tokens are split exactly like
+    * `split(nt, ' ')` (limit -1: leading/trailing/double spaces yield empty
+    * tokens). Returns an empty array when the string has fewer than `k`
+    * tokens (the composed form's `size(toks) >= k` pre-filter). */
+  def tokenShinglesMd5(nt: UTF8String, k: Int): ArrayData = {
+    if (k <= 0) return new GenericArrayData(Array.empty[Any])
+    val bytes = nt.getBytes
+    val n = bytes.length
+    var nTok = if (n == 0) 0 else 1
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    if (nTok < k) return new GenericArrayData(Array.empty[Any])
+    // starts(j) = first byte of token j; sentinel so token j ends at
+    // starts(j+1) - 1 (the space), with the last token ending at n
+    val starts = new Array[Int](nTok + 1)
+    var t = 1
+    i = 0
+    while (i < n) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTok) = n + 1
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val md = md5Local.get()
+    val buf = new Array[Byte](16)
+    var w = 0
+    while (w + k <= nTok) {
+      val from = starts(w)
+      val until = starts(w + k) - 1
+      md.reset()
+      md.update(bytes, from, until - from)
+      md.digest(buf, 0, 16)
+      seen.add(hex(buf))
+      w += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(
@@ -346,6 +402,9 @@ object TextHashExprs {
         "remove_intervals", exprs => RemoveIntervalsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
       reg.createOrReplaceTempFunction(
         "top_2gram", exprs => Top2GramExpr(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "token_shingles_md5",
+        exprs => TokenShinglesMd5Expr(exprs(0), exprs(1)), "built-in")
     }
   }
 
@@ -363,6 +422,33 @@ object TextHashExprs {
   def remove_intervals(t: Column, ps: Column, w: Column): Column =
     call_function("remove_intervals", t, ps, w)
   def top_2gram(nt: Column): Column = call_function("top_2gram", nt)
+  def token_shingles_md5(nt: Column, k: Column): Column =
+    call_function("token_shingles_md5", nt, k)
+}
+
+/** `token_shingles_md5(nt, k)` — distinct md5s of all k-token windows,
+  * one compiled pass (see [[TextHashExprs.tokenShinglesMd5]]). Non-null
+  * input always yields an array (possibly empty), so `defineCodeGen`'s
+  * non-null contract holds. */
+case class TokenShinglesMd5Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "token_shingles_md5"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, literal int), got $other")
+    }
+  override protected def nullSafeEval(s: Any, k: Any): Any =
+    TextHashExprs.tokenShinglesMd5(s.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, k) =>
+      s"graft.plans.TextHashExprs.tokenShinglesMd5($s, $k)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenShinglesMd5Expr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `top_2gram(nt)` — most frequent word 2-gram + count of a normalized

@@ -32,6 +32,42 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(doc1.length == 3)  // a-b-c-a / b-c-a-b / c-a-b-a? no: 3 distinct of 6 windows
   }
 
+  test("token_shingles_md5 kernel == composed split/slice/join/md5 form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.plans.TextHashExprs.register(spark)
+    // normalized-then-edge inputs: repeats, CJK tokens, exactly-k tokens,
+    // fewer-than-k tokens, single char, and un-normalized spacing (the
+    // kernel must match split(nt,' ') limit -1 semantics even there)
+    val texts = Seq(
+      "a b c a b c a b c", "the quick brown fox jumps over the lazy dog",
+      "早 安 世界 早 安 世界 再見", "one two three four", "one two three",
+      "x", "", "a  b c d e", " a b c d", "a b c d ",
+      ("tok " * 50).trim) ++
+      (0 until 20).map(i => new scala.util.Random(i).alphanumeric.take(80)
+        .mkString.replaceAll("(.{6})", "$1 ").trim)
+    for (k <- Seq(2, 4)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "nt")
+      val kernel = df.select(col("doc_id"),
+        graft.plans.TextHashExprs.token_shingles_md5(col("nt"), lit(k)).as("sh"))
+      val composed = df
+        .select(col("doc_id"), split(col("nt"), " ").as("toks"))
+        .select(col("doc_id"),
+          when(size(col("toks")) >= k,
+            array_distinct(transform(
+              sequence(lit(0), size(col("toks")) - k),
+              i => md5(array_join(slice(col("toks"), i + 1, lit(k)), " ")))))
+            .otherwise(array().cast("array<string>")).as("sh"))
+      val a = kernel.orderBy("doc_id").collect().map(_.getSeq[String](1))
+      val b = composed.orderBy("doc_id").collect().map(_.getSeq[String](1))
+      assert(a.length == b.length)
+      a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
+        assert(x == y, s"k=$k doc=$i: $x != $y")
+      }
+    }
+  }
+
   test("a training doc sharing a 4-shingle with a test doc is flagged; others are not") {
     import spark.implicits._
     val docs = Seq(

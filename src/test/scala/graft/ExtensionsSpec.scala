@@ -48,6 +48,10 @@ class ExtensionsSpec extends AnyFunSuite {
       val ri = spark.sql("SELECT remove_intervals('abcdef', array(2), 3) AS t")
         .collect()(0).getString(0)
       assert(ri == "aef")
+      val tsh = spark.sql(
+        "SELECT token_shingles_md5('a b c', 2) AS sh, md5('a b') AS m1, md5('b c') AS m2")
+        .collect()(0)
+      assert(tsh.getSeq[String](0) == Seq(tsh.getString(1), tsh.getString(2)))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
