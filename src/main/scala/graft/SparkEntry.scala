@@ -1176,16 +1176,20 @@ object SparkEntry {
         cardLit)
       val wrapped = docs.select(col("doc_id"),
         concat(col("text"), lit("\n"), pii).as("t2"))
-      val cards = regexp_extract_all(col("t2"), lit(PiiOps.CardRe), lit(0))
-      wrapped.select(col("doc_id"),
-          size(regexp_extract_all(col("t2"), lit(PiiOps.EmailRe), lit(0))).cast("long").as("n_email"),
-          size(regexp_extract_all(col("t2"), lit(PiiOps.PhoneRe), lit(0))).cast("long").as("n_phone"),
-          size(regexp_extract_all(col("t2"), lit(PiiOps.Ipv4Re), lit(0))).cast("long").as("n_ip"),
-          size(cards).cast("long").as("n_card"),
-          size(filter(cards, x =>
-            call_function("luhn_check",
-              regexp_replace(x, lit("[^0-9]"), lit(""))))).cast("long").as("n_card_valid"),
-          md5(call_function("pii_redact", col("t2"))).as("md5_redacted"))
+      // ONE fused kernel pass for counts + Luhn + redaction
+      // (graft.plans.PiiStatsExpr, same compiled PiiOps patterns): the
+      // composed form materialized a match array per pattern just to
+      // size() it and ran an interpreted filter lambda (regexp_replace +
+      // luhn_check per card). Differential-pinned in PiiSpec; the oracle
+      // replays the identical counts/md5 in DuckDB.
+      wrapped.select(col("doc_id"), call_function("pii_stats", col("t2")).as("ps"))
+        .select(col("doc_id"),
+          col("ps.n_email").as("n_email"),
+          col("ps.n_phone").as("n_phone"),
+          col("ps.n_ip").as("n_ip"),
+          col("ps.n_card").as("n_card"),
+          col("ps.n_card_valid").as("n_card_valid"),
+          md5(col("ps.redacted")).as("md5_redacted"))
         .orderBy(col("doc_id"))
     }),
 

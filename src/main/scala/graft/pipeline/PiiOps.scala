@@ -48,10 +48,16 @@ object PiiOps {
   val CardRe: String =
     "\\b(?:[0-9]{4}[- ]){3}[0-9]{4}\\b|\\b[0-9]{13,19}\\b"
 
-  private val email = Pattern.compile(EmailRe)
-  private val phone = Pattern.compile(PhoneRe)
-  private val ipv4 = Pattern.compile(Ipv4Re)
-  private val card = Pattern.compile(CardRe)
+  // compiled once per JVM; exposed so the fused pii_stats kernel
+  // (graft.plans.PiiStatsExpr) counts with the EXACT same pattern objects
+  val emailPattern: Pattern = Pattern.compile(EmailRe)
+  val phonePattern: Pattern = Pattern.compile(PhoneRe)
+  val ipv4Pattern: Pattern = Pattern.compile(Ipv4Re)
+  val cardPattern: Pattern = Pattern.compile(CardRe)
+  private def email = emailPattern
+  private def phone = phonePattern
+  private def ipv4 = ipv4Pattern
+  private def card = cardPattern
 
   /** Typed-placeholder redaction; see the object doc for the exact
     * (SQL-replayable) sequential semantics. Total: null → null. */

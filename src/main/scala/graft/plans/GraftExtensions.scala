@@ -81,6 +81,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PiiRedactExpr].getName, "pii_redact"),
       (exprs: Seq[Expression]) => PiiRedactExpr(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("pii_stats"),
+      new ExpressionInfo(classOf[PiiStatsExpr].getName, "pii_stats"),
+      (exprs: Seq[Expression]) => PiiStatsExpr(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("office_kind"),
       new ExpressionInfo(classOf[OfficeKindExpr].getName, "office_kind"),
       (exprs: Seq[Expression]) => OfficeKindExpr(exprs.head)))

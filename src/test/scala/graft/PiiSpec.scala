@@ -106,4 +106,40 @@ class PiiSpec extends AnyFunSuite {
     val r = spark.sql("SELECT pii_redact(CAST(NULL AS STRING)) AS x").collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("pii_stats kernel == composed builtin counts + luhn filter + redact md5") {
+    PiiExprs.register(spark)
+    import spark.implicits._
+    val texts = Seq(
+      "u9@h.io pays 4111111111111111 from 10.0.0.1 call 555-867-5309",
+      "no pii at all", "",
+      "two mails a@b.cc c@d.ee one bad card 4111111111111112",
+      "grouped 5500 0055 5555 5559 and 4111 1111 1111 1111 ips 1.2.3.4 256.1.1.1",
+      "phones 555-123-4567 555.123.4567 555 123 4567 5551234567",
+      "longrun 12345678901234567890 is not a card but 1234567890123 is",
+      "mixed 中文 text with café u@例え.jp and 4242424242424242")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t2")
+    val cards = regexp_extract_all(col("t2"), lit(PiiOps.CardRe), lit(0))
+    val composed = df.select(col("doc_id"),
+      size(regexp_extract_all(col("t2"), lit(PiiOps.EmailRe), lit(0))).cast("long").as("n_email"),
+      size(regexp_extract_all(col("t2"), lit(PiiOps.PhoneRe), lit(0))).cast("long").as("n_phone"),
+      size(regexp_extract_all(col("t2"), lit(PiiOps.Ipv4Re), lit(0))).cast("long").as("n_ip"),
+      size(cards).cast("long").as("n_card"),
+      size(filter(cards, x =>
+        call_function("luhn_check",
+          regexp_replace(x, lit("[^0-9]"), lit(""))))).cast("long").as("n_card_valid"),
+      md5(PiiExprs.pii_redact(col("t2"))).as("md5_redacted"))
+    val fused = df.select(col("doc_id"), PiiExprs.pii_stats(col("t2")).as("ps"))
+      .select(col("doc_id"), col("ps.n_email"), col("ps.n_phone"), col("ps.n_ip"),
+        col("ps.n_card"), col("ps.n_card_valid"),
+        md5(col("ps.redacted")).as("md5_redacted"))
+    val a = composed.orderBy("doc_id").collect().map(_.toSeq)
+    val b = fused.orderBy("doc_id").collect().map(_.toSeq)
+    a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
+      assert(x == y, s"doc $i: $x != $y")
+    }
+    // null-safe
+    val r = spark.sql("SELECT pii_stats(CAST(NULL AS STRING)) AS x").collect()(0)
+    assert(r.isNullAt(0))
+  }
 }
