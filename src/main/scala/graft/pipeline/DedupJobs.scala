@@ -160,6 +160,21 @@ object DedupJobs {
     // Candidates are consumed twice (doc-id prune + the verify join); the
     // pair table is tiny relative to the corpus, so persist it rather than
     // recompute the banded-join lineage (at cluster scale: checkpoint it).
+    //
+    // Join-strategy experiment (round 6, MEASURED AND REVERTED): hinting
+    // the id-set semi-join below to broadcast removes the corpus-text
+    // exchange+sort (2 SortMergeJoin -> 0), but (a) with the lazy persist
+    // the broadcast-exchange thread races the main DAG's first
+    // materialization of this same candidate lineage and duplicates the
+    // whole signature stage nondeterministically (measured 6 -> 16-28 s
+    // outlier reps on the neardup pipeline), and (b) fixing the race with
+    // an eager localCheckpoint serializes the candidate build before the
+    // corpus tokenize stage, losing the overlap the SMJ shape gets for
+    // free (verified 1.9 -> 2.9 s, components 1.5 -> 2.1 s). The
+    // incremental probe (dedupAgainstIndex) KEEPS broadcast+eager — there
+    // the candidate lineage is index-read-bounded and cheap, so the
+    // serialization costs nothing and the prune win is real (2.0 -> 1.6 s,
+    // outlier-free).
     val cand = cache(candidatePairs(docs, numHashes, bands, bucketCap))
     // Tokenize ONLY docs that appear in a candidate pair (in-row fanout of
     // both pair ends + semi-join prune), once per doc.
@@ -507,12 +522,16 @@ object DedupJobs {
       .join(idxSizes, Seq("bi", "bh"), "left")
       .filter(coalesce(col("n_idx"), lit(0L)) + col("n_new") <= bucketCap)
       .select(col("bi"), col("bh"))
-    val cand = cache(
+    // Eager cut for the same broadcast-vs-lazy-persist race as the batch
+    // verify (see minhashVerifiedPairs): the two broadcast id-set prunes
+    // below execute this lineage from the broadcast thread pool at action
+    // start.
+    val cand =
       idxBands.select(col("bi"), col("bh"), col("doc_id").as("doc_a"))
         .join(newBand.join(keptBuckets, Seq("bi", "bh"))
           .select(col("bi"), col("bh"), col("doc_id").as("doc_b")),
           Seq("bi", "bh"))
-        .select(col("doc_a"), col("doc_b")).distinct())
+        .select(col("doc_a"), col("doc_b")).distinct().localCheckpoint()
 
     // Exact-Jaccard verify, candidate-bounded on BOTH sides: indexed docs'
     // tokens come from the corpus table, new docs' tokens from the
@@ -521,12 +540,16 @@ object DedupJobs {
     // IN-ROW per pair (`array_intersect`/`size` — the same shape as the
     // batch [[minhashVerifiedPairs]] verify; the former token-explode
     // joins shuffled pairs × tokens rows through two joins + a groupBy).
+    // Broadcast the pair-bounded id sets so the text-bearing corpus and
+    // snapshot scans are pruned MAP-SIDE (same rationale as the batch
+    // verify: un-hinted, these semi-joins sort-merge and shuffle the full
+    // text column against a tiny key set).
     val tokA = corpus
-      .join(cand.select(col("doc_a").as("doc_id")).distinct(),
+      .join(broadcast(cand.select(col("doc_a").as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
     val tokB = newDocs
-      .join(cand.select(col("doc_b").as("doc_id")).distinct(),
+      .join(broadcast(cand.select(col("doc_b").as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
 
