@@ -26,49 +26,35 @@ object QualityFilters {
 
   val stopwords: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "that")
 
-  /** Count non-overlapping occurrences of `sub` via replace-length
-    * arithmetic (identical semantics in DuckDB). Literal replace, not
-    * regex — one memchr-style scan per row. */
-  private def occurrences(c: Column, sub: String): Column =
-    (length(c) - length(replace(c, lit(sub), lit("")))) / sub.length
-
-  /** Adds the signal columns + `passes` to a documents frame. */
+  /** Adds the signal columns + `passes` to a documents frame.
+    *
+    * All five signals come from ONE compiled byte pass per row
+    * ([[graft.plans.GopherSignalsExpr]]) — the composed form ran six
+    * passes per row (the `\s+` normalization regex + its string copy, a
+    * `split` token-array build, three `replace` occurrence scans, a
+    * `regexp_count`, and a `regexp_extract_all` + distinct). Arithmetic
+    * is replicated exactly (same int subtractions, same exact-in-double
+    * divisions — see the kernel's scaladoc); QualityFiltersSpec pins a
+    * full differential against the composed form on trap inputs and the
+    * DuckDB oracle replays the identical arithmetic independently. */
   def gopherSignals(documents: DataFrame): DataFrame = {
-    val nt = trim(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " "))
-    val toks = split(nt, " ")
-    val n = when(nt === "", 0).otherwise(size(toks))
-    val meanLen = when(n === 0, lit(0.0))
-      .otherwise((length(nt) - (n - 1)).cast("double") / n)
-    val symbols = occurrences(nt, "#") + occurrences(nt, "...") + occurrences(nt, "…")
-    val symbolRatio = when(n === 0, lit(0.0)).otherwise(symbols.cast("double") / n)
-    // one regex pass over the whole string instead of a per-token lambda:
-    // each space-delimited token containing a letter yields exactly one
-    // match (the match ends at the token's first letter; the tail can't
-    // re-match without a preceding space)
-    val alphaWords = regexp_count(nt, lit("(?:^| )[^ ]*[A-Za-z]"))
-    val alphaRatio = when(n === 0, lit(0.0)).otherwise(alphaWords.cast("double") / n)
-    // distinct stopword types present in ONE regex pass (alternation +
-    // lookahead so consecutive stopwords still match), instead of 8
-    // separate anchored rlike scans over the full text per row. The
-    // extraction runs over lower(nt) with lowercase alternatives —
-    // identical (ASCII) semantics to the (?i) existence tests it
-    // replaces; distinct-type count = distinct extracted words.
-    val stopAlt = stopwords.mkString("|")
-    val nStop = size(array_distinct(regexp_extract_all(
-      lower(nt), lit(s"(?:^| )($stopAlt)(?= |$$)"), lit(1))))
-
+    graft.plans.QualityExprs.register(documents.sparkSession)
+    val g = graft.plans.QualityExprs.gopher_signals(
+      coalesce(col("text"), lit("")))
     documents
-      .withColumn("word_count", n.cast("long"))
-      .withColumn("mean_word_len", round(meanLen, 4))
-      .withColumn("symbol_word_ratio", round(symbolRatio, 4))
-      .withColumn("alpha_word_ratio", round(alphaRatio, 4))
-      .withColumn("n_stopwords", nStop.cast("long"))
+      .withColumn("_gopher", g)
+      .withColumn("word_count", col("_gopher.word_count"))
+      .withColumn("mean_word_len", round(col("_gopher.mean_raw"), 4))
+      .withColumn("symbol_word_ratio", round(col("_gopher.symbol_raw"), 4))
+      .withColumn("alpha_word_ratio", round(col("_gopher.alpha_raw"), 4))
+      .withColumn("n_stopwords", col("_gopher.n_stopwords"))
       .withColumn("passes",
-        n >= 50 && n <= 100000 &&
-          meanLen >= 3.0 && meanLen <= 10.0 &&
-          symbolRatio <= 0.1 &&
-          alphaRatio >= 0.8 &&
-          nStop >= 2)
+        col("_gopher.word_count") >= 50 && col("_gopher.word_count") <= 100000 &&
+          col("_gopher.mean_raw") >= 3.0 && col("_gopher.mean_raw") <= 10.0 &&
+          col("_gopher.symbol_raw") <= 0.1 &&
+          col("_gopher.alpha_raw") >= 0.8 &&
+          col("_gopher.n_stopwords") >= 2)
+      .drop("_gopher")
   }
 
   /** Gopher repetition signals (A1.1's duplicate-line and most-frequent

@@ -129,6 +129,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Top2GramExpr].getName, "top_2gram"),
       (exprs: Seq[Expression]) => Top2GramExpr(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("gopher_signals"),
+      new ExpressionInfo(classOf[GopherSignalsExpr].getName, "gopher_signals"),
+      (exprs: Seq[Expression]) => GopherSignalsExpr(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("token_shingles_md5"),
       new ExpressionInfo(classOf[TokenShinglesMd5Expr].getName, "token_shingles_md5"),
       (exprs: Seq[Expression]) => TokenShinglesMd5Expr(exprs(0), exprs(1))))

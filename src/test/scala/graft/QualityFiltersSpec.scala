@@ -66,6 +66,76 @@ class QualityFiltersSpec extends AnyFunSuite {
       .collect()(0)
   }
 
+  test("gopher_signals kernel == composed builtin form, trap inputs included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the EXACT composed form the kernel replaced (kept here as the
+    // independent reference implementation)
+    def occurrences(c: org.apache.spark.sql.Column, sub: String) =
+      (length(c) - length(replace(c, lit(sub), lit("")))) / sub.length
+    val nt = trim(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " "))
+    val toks = split(nt, " ")
+    val n = when(nt === "", 0).otherwise(size(toks))
+    val meanLen = when(n === 0, lit(0.0))
+      .otherwise((length(nt) - (n - 1)).cast("double") / n)
+    val symbols = occurrences(nt, "#") + occurrences(nt, "...") + occurrences(nt, "…")
+    val symbolRatio = when(n === 0, lit(0.0)).otherwise(symbols.cast("double") / n)
+    val alphaWords = regexp_count(nt, lit("(?:^| )[^ ]*[A-Za-z]"))
+    val alphaRatio = when(n === 0, lit(0.0)).otherwise(alphaWords.cast("double") / n)
+    val stopAlt = QualityFilters.stopwords.mkString("|")
+    val nStop = size(array_distinct(regexp_extract_all(
+      lower(nt), lit(s"(?:^| )($stopAlt)(?= |$$)"), lit(1))))
+    val passes = n >= 50 && n <= 100000 &&
+      meanLen >= 3.0 && meanLen <= 10.0 && symbolRatio <= 0.1 &&
+      alphaRatio >= 0.8 && nStop >= 2
+
+    val texts: Seq[String] = Seq(
+      null, "", " \t\n\f\r ", "word", "a", "THE The the tHe",
+      "iſ THE", "İn the", "K and", "Σ the and",          // case-fold traps
+      "dots.... here ...... and #tags## …… mixed.…#",
+      "nb sp stays inside token the and",            // U+00A0 not \s
+      "早安 世界 the and of to", "x" * 300,
+      ("the quick brown fox jumps over and beyond lazy dogs " * 6).trim,
+      "num3er5 only 12345 67890 the and", "consec the and of to a in is that") ++
+      (0 until 40).map { i =>
+        val r = new scala.util.Random(500 + i)
+        (0 until 30).map { _ =>
+          val w = r.nextInt(6) match {
+            case 0 => QualityFilters.stopwords(r.nextInt(8))
+            case 1 => r.alphanumeric.take(1 + r.nextInt(8)).mkString
+            case 2 => Seq("...", "#", "…", "..", "....")(r.nextInt(5))
+            case 3 => Seq("iſ", "İs", "Σto", "ſ", "ﬁn")(r.nextInt(5))
+            case 4 => "早" * (1 + r.nextInt(3))
+            case _ => r.alphanumeric.take(3).mkString + Seq(" ", "\t", "\n")(r.nextInt(3)) +
+              r.alphanumeric.take(3).mkString
+          }
+          w
+        }.mkString(Seq(" ", "  ", "\t", " \n ")(r.nextInt(4)))
+      }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val composed = df.select(col("doc_id"), n.cast("long").as("wc"),
+      meanLen.as("ml"), symbolRatio.as("sr"), alphaRatio.as("ar"),
+      nStop.cast("long").as("ns"), passes.as("p"))
+    // gopherSignals rounds for output; compare the UNROUNDED kernel
+    // struct (what `passes` consumes) against the unrounded composed form
+    graft.plans.QualityExprs.register(spark)
+    val kraw = df.select(col("doc_id"),
+        graft.plans.QualityExprs.gopher_signals(coalesce(col("text"), lit(""))).as("g"))
+      .select(col("doc_id"), col("g.word_count").as("wc"),
+        col("g.mean_raw").as("ml"), col("g.symbol_raw").as("sr"),
+        col("g.alpha_raw").as("ar"), col("g.n_stopwords").as("ns"),
+        (col("g.word_count") >= 50 && col("g.word_count") <= 100000 &&
+          col("g.mean_raw") >= 3.0 && col("g.mean_raw") <= 10.0 &&
+          col("g.symbol_raw") <= 0.1 && col("g.alpha_raw") >= 0.8 &&
+          col("g.n_stopwords") >= 2).as("p"))
+    val a = composed.orderBy("doc_id").collect()
+    val b = kraw.orderBy("doc_id").collect()
+    a.zip(b).foreach { case (x, y) =>
+      assert(x == y, s"doc ${x.getLong(0)}: composed=$x kernel=$y " +
+        s"text=${texts(x.getLong(0).toInt)}")
+    }
+  }
+
   test("repetition: a looping 2-gram dominates and fails the bound") {
     val r = repetition("a b a b a b")        // "a b" x3, chars 3*3/11
     assert(r.getString(1) == "a b" && r.getLong(2) == 3)
