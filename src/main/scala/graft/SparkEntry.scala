@@ -893,12 +893,16 @@ object SparkEntry {
       // aggregate stages race on uncached partitions and duplicate the
       // stage compute; the eager cut serializes each stage exactly once.)
       val docs = t(s, dir, "documents")
+      graft.plans.TextHashExprs.register(s)
       val q = graft.pipeline.QualityFilters.gopherSignals(docs).filter(col("passes"))
-      val nt = trim(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " "))
+      // exact-dedup fingerprint via the one-pass norm_md5 kernel (==
+      // md5(trim(regexp_replace(text, "\\s+", " "))) bit-for-bit — the
+      // composed chain paid a regex scan + ~4 buffer copies per row)
+      val nthash = graft.plans.TextHashExprs.norm_md5(coalesce(col("text"), lit("")))
       // gopher + dedup window in ONE pass: keep the window rank as a column
       // so n_quality (all rows) and n_dedup (rn = 1) read the same
       // materialization instead of re-filtering the corpus per count.
-      val dedAll = q.withColumn("nthash", md5(nt))
+      val dedAll = q.withColumn("nthash", nthash)
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("nthash")).orderBy(col("doc_id"))))
         .select(col("doc_id"), col("text"), col("rn"))
@@ -939,9 +943,11 @@ object SparkEntry {
     // multiply-consumed stage boundary materializes exactly once. -------
     "q_training_pipeline_neardup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      graft.plans.TextHashExprs.register(s)
       val q = graft.pipeline.QualityFilters.gopherSignals(docs).filter(col("passes"))
-      val nt = trim(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " "))
-      val dedAll = q.withColumn("nthash", md5(nt))
+      // same one-pass norm_md5 fingerprint as q_training_pipeline
+      val dedAll = q.withColumn("nthash",
+        graft.plans.TextHashExprs.norm_md5(coalesce(col("text"), lit(""))))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("nthash")).orderBy(col("doc_id"))))
         .select(col("doc_id"), col("text"), col("rn"))

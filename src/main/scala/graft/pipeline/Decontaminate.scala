@@ -23,25 +23,27 @@ object Decontaminate {
   /** Per-document DISTINCT k-token shingle hashes, deduped in-row.
     *
     * Shingle md5s come from the ONE-PASS compiled kernel
-    * [[graft.plans.TextHashExprs.tokenShinglesMd5]] — bit-identical to the
-    * composed `split` + `transform(slice/array_join/md5)` form it replaced
-    * (DecontaminateSpec pins the full differential): since `nt` is
-    * single-space-normalized, each space-joined k-token window IS a byte
-    * range of `nt`, so the kernel feeds md5 the same bytes without the
-    * per-window slice/join/array allocations (measured ~25% of
-    * q_decontaminate). Docs with fewer than k tokens yield an empty array
-    * (the composed form's `size(toks) >= k` pre-filter), which `explode`
-    * then drops. */
+    * [[graft.plans.TextHashExprs.tokenShinglesMd5]] over the RAW text —
+    * bit-identical to the composed `trim(regexp_replace(.., "\\s+", " "))`
+    * + `split` + `transform(slice/array_join/md5)` chain it replaced
+    * (DecontaminateSpec pins the full differential): the kernel
+    * normalizes in its own byte walk (the regexp_replace chain paid a
+    * regex-engine scan plus ~4 buffer copies per row), and each
+    * space-joined k-token window IS a byte range of the normalized
+    * buffer, so md5 sees the same bytes with zero slice/join allocation
+    * (measured ~25% of q_decontaminate for the window fusion, plus the
+    * normalization pass). Docs with fewer than k tokens (incl. empty /
+    * all-whitespace) yield an empty array, which `explode` drops — the
+    * composed form's `nt != ''` and `size(toks) >= k` pre-filters. */
   def shingles(documents: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"shingle size must be positive, got $k")
     graft.plans.TextHashExprs.register(documents.sparkSession)
-    val nt = trim(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " "))
     documents
-      .select(col("doc_id").cast("long").as("doc_id"), nt.as("nt"))
-      .filter(col("nt") =!= "")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        coalesce(col("text"), lit("")).as("raw"))
       .select(col("doc_id"),
         explode(graft.plans.TextHashExprs
-          .token_shingles_md5(col("nt"), lit(k))).as("shingle"))
+          .token_shingles_md5(col("raw"), lit(k))).as("shingle"))
   }
 
   /** Contaminated training documents: share at least one k-shingle (with

@@ -137,6 +137,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TokenShinglesMd5Expr].getName, "token_shingles_md5"),
       (exprs: Seq[Expression]) => TokenShinglesMd5Expr(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("norm_md5"),
+      new ExpressionInfo(classOf[NormMd5Expr].getName, "norm_md5"),
+      (exprs: Seq[Expression]) => NormMd5Expr(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDotExpr(exprs(0), exprs(1))))

@@ -333,42 +333,61 @@ object TextHashExprs {
     new GenericInternalRow(Array[Any](bestGram.clone(), bestCnt.toLong))
   }
 
-  /** Distinct md5 hex digests of every `k`-token window of a single-space-
-    * separated string, in ONE compiled pass — bit-identical to the composed
+  @inline private def isAsciiWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  /** Whitespace-normalize `raw` (Java-`\s` ASCII runs → single 0x20,
+    * leading/trailing dropped — exactly
+    * `trim(regexp_replace(raw, "\\s+", " "))`) into a fresh buffer,
+    * recording each token's start offset. Returns (buffer, usedLen,
+    * tokenStarts, nTok); normalization only shrinks, so the buffer is
+    * input-sized. */
+  private def normalizeWs(raw: Array[Byte]): (Array[Byte], Int, Array[Int], Int) = {
+    val n = raw.length
+    val out = new Array[Byte](n)
+    val starts = new Array[Int](n / 2 + 2)
+    var o = 0
+    var nTok = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isAsciiWs(raw(i))) i += 1
+      if (i < n) {
+        if (o > 0) { out(o) = ' '; o += 1 }
+        starts(nTok) = o
+        nTok += 1
+        while (i < n && !isAsciiWs(raw(i))) { out(o) = raw(i); o += 1; i += 1 }
+      }
+    }
+    (out, o, starts, nTok)
+  }
+
+  /** Distinct md5 hex digests of every `k`-token window of the
+    * whitespace-NORMALIZED input, in ONE compiled pass over the raw
+    * text — bit-identical to the composed
     * `array_distinct(transform(sequence(0, size(toks)-k),
     * i -> md5(array_join(slice(toks, i+1, k), ' '))))` over
-    * `toks = split(nt, ' ')`: because the separator is the same single
-    * space, each joined window IS the byte range of `nt` from the start of
-    * token i to the end of token i+k-1, so the md5 is fed the identical
-    * bytes with zero slice/join allocation. Tokens are split exactly like
-    * `split(nt, ' ')` (limit -1: leading/trailing/double spaces yield empty
-    * tokens). Returns an empty array when the string has fewer than `k`
-    * tokens (the composed form's `size(toks) >= k` pre-filter). */
-  def tokenShinglesMd5(nt: UTF8String, k: Int): ArrayData = {
+    * `toks = split(trim(regexp_replace(raw, '\\s+', ' ')), ' ')`:
+    * normalization happens INSIDE the kernel (one byte walk — the
+    * builtin regexp_replace chain paid a regex-engine scan plus ~4
+    * buffer copies per row), and because the separator is a single
+    * space each joined window IS a byte range of the normalized buffer,
+    * so md5 sees identical bytes with zero slice/join allocation.
+    * Returns an empty array when the input has fewer than `k` tokens
+    * (the composed form's `size(toks) >= k` pre-filter). */
+  def tokenShinglesMd5(raw: UTF8String, k: Int): ArrayData = {
     if (k <= 0) return new GenericArrayData(Array.empty[Any])
-    val bytes = nt.getBytes
-    val n = bytes.length
-    var nTok = if (n == 0) 0 else 1
-    var i = 0
-    while (i < n) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    val (bytes, usedLen, starts, nTok) = normalizeWs(raw.getBytes)
     if (nTok < k) return new GenericArrayData(Array.empty[Any])
-    // starts(j) = first byte of token j; sentinel so token j ends at
-    // starts(j+1) - 1 (the space), with the last token ending at n
-    val starts = new Array[Int](nTok + 1)
-    var t = 1
-    i = 0
-    while (i < n) {
-      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
-      i += 1
-    }
-    starts(nTok) = n + 1
+    // window w spans token w through token w+k-1: token j ends at
+    // starts(j+1) - 1 (the separating space); the final token ends at
+    // the normalized length
     val seen = new java.util.LinkedHashSet[UTF8String]()
     val md = md5Local.get()
     val buf = new Array[Byte](16)
     var w = 0
     while (w + k <= nTok) {
       val from = starts(w)
-      val until = starts(w + k) - 1
+      val until = if (w + k < nTok) starts(w + k) - 1 else usedLen
       md.reset()
       md.update(bytes, from, until - from)
       md.digest(buf, 0, 16)
@@ -380,6 +399,21 @@ object TextHashExprs {
     var j = 0
     while (it.hasNext) { out(j) = it.next(); j += 1 }
     new GenericArrayData(out)
+  }
+
+  /** md5 hex of the whitespace-normalized input — bit-identical to
+    * `md5(trim(regexp_replace(raw, "\\s+", " ")))` (the exact-dedup
+    * fingerprint of the training pipelines) computed in one byte walk +
+    * one digest, instead of a regex-engine scan plus ~4 buffer copies
+    * per row before the builtin md5. */
+  def normMd5(raw: UTF8String): UTF8String = {
+    val (bytes, usedLen, _, _) = normalizeWs(raw.getBytes)
+    val md = md5Local.get()
+    md.reset()
+    md.update(bytes, 0, usedLen)
+    val buf = new Array[Byte](16)
+    md.digest(buf, 0, 16)
+    hex(buf)
   }
 
   def register(spark: SparkSession): Unit = {
@@ -405,6 +439,8 @@ object TextHashExprs {
       reg.createOrReplaceTempFunction(
         "token_shingles_md5",
         exprs => TokenShinglesMd5Expr(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "norm_md5", exprs => NormMd5Expr(exprs.head), "built-in")
     }
   }
 
@@ -422,8 +458,26 @@ object TextHashExprs {
   def remove_intervals(t: Column, ps: Column, w: Column): Column =
     call_function("remove_intervals", t, ps, w)
   def top_2gram(nt: Column): Column = call_function("top_2gram", nt)
-  def token_shingles_md5(nt: Column, k: Column): Column =
-    call_function("token_shingles_md5", nt, k)
+  def token_shingles_md5(raw: Column, k: Column): Column =
+    call_function("token_shingles_md5", raw, k)
+  def norm_md5(raw: Column): Column = call_function("norm_md5", raw)
+}
+
+/** `norm_md5(text)` — md5 of the whitespace-normalized text, one byte
+  * walk (see [[TextHashExprs.normMd5]]). */
+case class NormMd5Expr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "norm_md5"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashExprs.normMd5(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHashExprs.normMd5($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormMd5Expr =
+    copy(child = newChild)
 }
 
 /** `token_shingles_md5(nt, k)` — distinct md5s of all k-token windows,

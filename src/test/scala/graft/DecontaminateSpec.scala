@@ -32,29 +32,33 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(doc1.length == 3)  // a-b-c-a / b-c-a-b / c-a-b-a? no: 3 distinct of 6 windows
   }
 
-  test("token_shingles_md5 kernel == composed split/slice/join/md5 form") {
+  test("token_shingles_md5 kernel == composed normalize/split/slice/join/md5 form") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     graft.plans.TextHashExprs.register(spark)
-    // normalized-then-edge inputs: repeats, CJK tokens, exactly-k tokens,
-    // fewer-than-k tokens, single char, and un-normalized spacing (the
-    // kernel must match split(nt,' ') limit -1 semantics even there)
+    // raw inputs incl. messy whitespace (the kernel normalizes in its own
+    // byte walk and must match the trim(regexp_replace(\s+))-then-split
+    // composed chain), repeats, CJK tokens, exactly-k / fewer-than-k
+    // tokens, single char, all-whitespace, empty
     val texts = Seq(
       "a b c a b c a b c", "the quick brown fox jumps over the lazy dog",
       "早 安 世界 早 安 世界 再見", "one two three four", "one two three",
-      "x", "", "a  b c d e", " a b c d", "a b c d ",
+      "x", "", " \t\n\f\r ", "a  b\tc d e", " a b\nc d", "a b c d ",
+      "nb sp inside token stays one two three",
       ("tok " * 50).trim) ++
       (0 until 20).map(i => new scala.util.Random(i).alphanumeric.take(80)
         .mkString.replaceAll("(.{6})", "$1 ").trim)
     for (k <- Seq(2, 4)) {
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-        .toDF("doc_id", "nt")
+        .toDF("doc_id", "raw")
       val kernel = df.select(col("doc_id"),
-        graft.plans.TextHashExprs.token_shingles_md5(col("nt"), lit(k)).as("sh"))
+        graft.plans.TextHashExprs.token_shingles_md5(col("raw"), lit(k)).as("sh"))
+      val nt = trim(regexp_replace(col("raw"), "\\s+", " "))
       val composed = df
-        .select(col("doc_id"), split(col("nt"), " ").as("toks"))
+        .select(col("doc_id"), nt.as("nt"))
+        .select(col("doc_id"), col("nt"), split(col("nt"), " ").as("toks"))
         .select(col("doc_id"),
-          when(size(col("toks")) >= k,
+          when(col("nt") =!= "" && size(col("toks")) >= k,
             array_distinct(transform(
               sequence(lit(0), size(col("toks")) - k),
               i => md5(array_join(slice(col("toks"), i + 1, lit(k)), " ")))))

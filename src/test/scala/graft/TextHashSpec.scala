@@ -209,6 +209,25 @@ class TextHashSpec extends AnyFunSuite {
     }
   }
 
+  test("norm_md5 equals md5(trim(regexp_replace(text, \\s+, ' ')))") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.plans.TextHashExprs.register(spark)
+    val texts = Seq(
+      "plain text here", "", " \t\n\f\r ", "  leading and  trailing\t",
+      "早安\n世界  mixed\tascii", "nb sp stays", "x",
+      "multi\r\nline\r\ntext with  runs") ++
+      (0 until 20).map(i => new scala.util.Random(900 + i).alphanumeric
+        .take(60).mkString.replaceAll("(.{5})", "$1 "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
+    val rows = df.select(col("doc_id"),
+        graft.plans.TextHashExprs.norm_md5(col("t")).as("a"),
+        md5(trim(regexp_replace(col("t"), "\\s+", " "))).as("b"))
+      .collect()
+    rows.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"doc ${r.getLong(0)}"))
+  }
+
   test("top_2gram equals the explode/groupBy/window rank, ties included") {
     import spark.implicits._
     TextHashExprs.register(spark)
