@@ -212,13 +212,17 @@ object SparkEntry {
       // The duplicated shard (every 5th doc re-landing under a shifted id —
       // test scaffolding for the dedup) is fanned out IN-ROW from one scan
       // instead of the former UNION ALL double-scan of the table.
+      graft.plans.TextHashExprs.register(s)
       val d = t(s, dir, "documents")
       val ids = filter(
         array(col("doc_id"),
           when(col("doc_id") % 5 === 0, col("doc_id") + 1000000L)),
         x => x.isNotNull)
+      // fingerprint via the one-pass ws_normalize kernel (==
+      // lower(regexp_replace(text, "\\s+", " ")) bit-for-bit)
       d.select(explode(ids).as("doc_id"), col("text"))
-        .groupBy(md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+        .groupBy(md5(graft.plans.TextHashExprs
+          .ws_normalize(col("text"), doTrim = false, doLower = true)).as("fp"))
         .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("keep_id"))
         .filter(col("dup_count") > 1)
         .orderBy(col("fp"))
@@ -593,7 +597,8 @@ object SparkEntry {
       // shuffles are the output sort and the single-split parallelism guard.
       graft.plans.TextHashExprs.register(s)
       val d = graft.pipeline.ScanParallelism.ensure(t(s, dir, "documents"))
-      val nt = lower(regexp_replace(col("text"), "\\s+", " "))
+      val nt = graft.plans.TextHashExprs
+        .ws_normalize(col("text"), doTrim = false, doLower = true)
       d.withColumn("nt", nt)
         .withColumn("mm", graft.plans.TextHashExprs.shingle_minmax(col("nt"), lit(8)))
         .select(col("doc_id"), md5(col("nt")).as("fp"),

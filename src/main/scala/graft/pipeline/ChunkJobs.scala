@@ -46,7 +46,10 @@ object ChunkJobs {
     require(size > 0 && overlap >= 0 && overlap < size,
       s"need 0 <= overlap < size, got size=$size overlap=$overlap")
     val stride = size - overlap
-    val nt = trim(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " "))
+    graft.plans.TextHashExprs.register(documents.sparkSession)
+    // one-pass kernel form of trim(regexp_replace(.., "\\s+", " "))
+    val nt = graft.plans.TextHashExprs
+      .ws_normalize(coalesce(col("text"), lit("")), doTrim = true, doLower = false)
     val withToks = documents
       .select(col("doc_id").cast("long").as("doc_id"), nt.as("nt"))
       .filter(col("nt") =!= "")

@@ -407,7 +407,10 @@ object DedupJobs {
   def ngramJaccardCapped(docs: DataFrame, n: Int = 3, dfCap: Int = 50,
                          threshold: Double = 0.6): DataFrame = {
     graft.plans.TextHashExprs.register(docs.sparkSession)
-    val nt = lower(regexp_replace(col("text"), "\\s+", " "))
+    // normalization via the one-pass ws_normalize kernel (==
+    // lower(regexp_replace(text, "\\s+", " ")) bit-for-bit)
+    val nt = graft.plans.TextHashExprs
+      .ws_normalize(col("text"), doTrim = false, doLower = true)
     // One-pass compiled n-gram kernel: the composed
     // `transform(sequence(...), i -> substr(nt, i, n))` form is O(len²) —
     // every builtin substr re-scans the UTF8String's variable-width bytes

@@ -39,7 +39,10 @@ object LayoutJob {
     */
   def synthesizeBlocks(spark: SparkSession, documents: DataFrame): Dataset[PageBlock] = {
     import spark.implicits._
-    val nt = trim(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " "))
+    graft.plans.TextHashExprs.register(spark)
+    // one-pass kernel form of trim(regexp_replace(.., "\\s+", " "))
+    val nt = graft.plans.TextHashExprs
+      .ws_normalize(coalesce(col("text"), lit("")), doTrim = true, doLower = false)
     val words = documents
       .select(col("doc_id").cast("long").as("doc_id"), nt.as("nt"))
       .filter(col("nt") =!= "")
@@ -74,9 +77,12 @@ object LayoutJob {
       bottomFrac: Double = 0.90): Dataset[PageBlock] = {
     import spark.implicits._
     // native-expression form of PageLayout.normalizeFurniture (stays in
-    // whole-stage codegen; LayoutSpec pins the equivalence)
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[0-9]+", "#"), "\\s+", " "))
+    // whole-stage codegen; LayoutSpec pins the equivalence); the \s+
+    // collapse runs in the one-pass ws_normalize kernel
+    graft.plans.TextHashExprs.register(spark)
+    val norm = graft.plans.TextHashExprs.ws_normalize(
+      regexp_replace(lower(col("text")), "[0-9]+", "#"),
+      doTrim = true, doLower = false)
     val withBand = blocks.toDF()
       .withColumn("in_band",
         col("y") < pageHeight * topFrac || col("y") + col("h") > pageHeight * bottomFrac)

@@ -49,9 +49,15 @@ import org.apache.spark.sql.functions._
   * without changing the contract. */
 object LmQuality {
 
-  /** The documented normalization (shared with the oracle verbatim). */
+  /** The documented normalization (the oracle replays
+    * `lower(trim(regexp_replace(c, '\\s+', ' ')))` verbatim; this is the
+    * one-pass [[graft.plans.TextHashExprs.wsNormalize]] kernel form of
+    * the same function — trim and lower commute since no codepoint
+    * lowercases to or from a space, pinned by TextHashSpec). Callers
+    * register TextHashExprs before their first action (both entry
+    * points in this file do). */
   def normalized(c: Column): Column =
-    lower(trim(regexp_replace(c, "\\s+", " ")))
+    graft.plans.TextHashExprs.ws_normalize(c, doTrim = true, doLower = true)
 
   /** All overlapping character trigrams of a normalized string — the
     * native one-pass kernel ([[graft.plans.TextHashExprs.charNgrams]]).

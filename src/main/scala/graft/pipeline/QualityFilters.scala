@@ -75,7 +75,9 @@ object QualityFilters {
     * shape as the layout furniture removal. */
   def repetitionSignals(documents: DataFrame): DataFrame = {
     graft.plans.TextHashExprs.register(documents.sparkSession)
-    val nt = trim(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " "))
+    // one-pass kernel form of trim(regexp_replace(.., "\\s+", " "))
+    val nt = graft.plans.TextHashExprs
+      .ws_normalize(coalesce(col("text"), lit("")), doTrim = true, doLower = false)
     val lines = filter(
       transform(split(coalesce(col("text"), lit("")), "\n"), l => trim(l)),
       l => l =!= "")

@@ -141,6 +141,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NormMd5Expr].getName, "norm_md5"),
       (exprs: Seq[Expression]) => NormMd5Expr(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("ws_normalize"),
+      new ExpressionInfo(classOf[WsNormalizeExpr].getName, "ws_normalize"),
+      (exprs: Seq[Expression]) => WsNormalizeExpr(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDotExpr(exprs(0), exprs(1))))

@@ -401,6 +401,41 @@ object TextHashExprs {
     new GenericArrayData(out)
   }
 
+  /** The whitespace-normalized (and optionally trimmed / lowercased)
+    * string itself — bit-identical to
+    * `[lower(][trim(]regexp_replace(raw, "\\s+", " ")[)][)]` in one byte
+    * walk: Java-`\s` is ASCII-only, collapsed runs become one 0x20
+    * (leading/trailing runs stay as one space unless `doTrim`), and
+    * lowering delegates to the same `UTF8String.toLowerCase` the builtin
+    * `lower` uses (so ſ/İ/Σ behave identically). For the hot paths that
+    * feed a normalized string into another builtin (md5 fingerprints,
+    * char_ngrams shingles, split tokenizers), this replaces a
+    * regex-engine scan plus ~4 buffer copies per row with one pass. */
+  def wsNormalize(raw: UTF8String, doTrim: Boolean, doLower: Boolean): UTF8String = {
+    val b = raw.getBytes
+    val n = b.length
+    val out = new Array[Byte](n)
+    var o = 0
+    var i = 0
+    var lead = false
+    while (i < n && isAsciiWs(b(i))) { i += 1; lead = true }
+    if (lead && !doTrim && i < n) { out(o) = ' '; o += 1 }
+    var trailing = false
+    while (i < n) {
+      if (isAsciiWs(b(i))) {
+        while (i < n && isAsciiWs(b(i))) i += 1
+        if (i < n) { out(o) = ' '; o += 1 }
+        else trailing = true
+      } else {
+        out(o) = b(i); o += 1; i += 1
+      }
+    }
+    // an all-whitespace input collapses to a single space when untrimmed
+    if (!doTrim && (trailing || (lead && o == 0))) { out(o) = ' '; o += 1 }
+    val s = UTF8String.fromBytes(out, 0, o)
+    if (doLower) s.toLowerCase else s
+  }
+
   /** md5 hex of the whitespace-normalized input — bit-identical to
     * `md5(trim(regexp_replace(raw, "\\s+", " ")))` (the exact-dedup
     * fingerprint of the training pipelines) computed in one byte walk +
@@ -441,6 +476,9 @@ object TextHashExprs {
         exprs => TokenShinglesMd5Expr(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction(
         "norm_md5", exprs => NormMd5Expr(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "ws_normalize",
+        exprs => WsNormalizeExpr(exprs(0), exprs(1), exprs(2)), "built-in")
     }
   }
 
@@ -461,6 +499,36 @@ object TextHashExprs {
   def token_shingles_md5(raw: Column, k: Column): Column =
     call_function("token_shingles_md5", raw, k)
   def norm_md5(raw: Column): Column = call_function("norm_md5", raw)
+  def ws_normalize(raw: Column, doTrim: Boolean, doLower: Boolean): Column =
+    call_function("ws_normalize", raw,
+      org.apache.spark.sql.functions.lit(doTrim),
+      org.apache.spark.sql.functions.lit(doLower))
+}
+
+/** `ws_normalize(text, trim, lower)` — the normalized string in one byte
+  * walk (see [[TextHashExprs.wsNormalize]]); `trim`/`lower` are literal
+  * booleans. */
+case class WsNormalizeExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def prettyName: String = "ws_normalize"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, BooleanType, BooleanType)
+          if second.foldable && third.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, literal boolean, literal boolean), got $other")
+    }
+  override protected def nullSafeEval(s: Any, t: Any, l: Any): Any =
+    TextHashExprs.wsNormalize(s.asInstanceOf[UTF8String],
+      t.asInstanceOf[Boolean], l.asInstanceOf[Boolean])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, t, l) =>
+      s"graft.plans.TextHashExprs.wsNormalize($s, $t, $l)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WsNormalizeExpr =
+    copy(first = f, second = s, third = t)
 }
 
 /** `norm_md5(text)` — md5 of the whitespace-normalized text, one byte

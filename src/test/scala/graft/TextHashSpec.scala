@@ -209,6 +209,42 @@ class TextHashSpec extends AnyFunSuite {
     }
   }
 
+  test("ws_normalize equals the regexp_replace/trim/lower compositions, all flags") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.plans.TextHashExprs.register(spark)
+    // traps: case-fold specials (ſ K İ Σ incl. final-sigma position),
+    // non-ASCII whitespace (NBSP must NOT collapse), leading/trailing and
+    // interior runs of every Java-\s char, all-whitespace, empty
+    val texts = Seq(
+      "", " ", " \t\n\f\r ", "plain", "  lead", "trail  ",
+      " both \t sides ", "Upper CASE ſtraße İstanbul KΣLVIN ΟΔΟΣ",
+      "nb sp stays", "早安  世界", "a\rb\nc\td",
+      "ΣΙΓΜΑ ΤΕΛΟΣ", "x  y   z") ++
+      (0 until 30).map { i =>
+        val r = new scala.util.Random(700 + i)
+        (0 until 12).map(_ => Seq("Tok", "ſs", "İi", "K", "Σ", "早", " ", "\t", "\n", "#")(
+          r.nextInt(10))).mkString(Seq("", " ", "  ", "\t")(r.nextInt(4)))
+      }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
+    for (doTrim <- Seq(true, false); doLower <- Seq(true, false)) {
+      var ref: org.apache.spark.sql.Column = regexp_replace(col("t"), "\\s+", " ")
+      if (doTrim) ref = trim(ref)
+      if (doLower) ref = lower(ref)
+      val rows = df.select(col("doc_id"),
+          graft.plans.TextHashExprs.ws_normalize(col("t"), doTrim, doLower).as("a"),
+          ref.as("b"))
+        .collect()
+      rows.foreach(r => assert(r.getString(1) == r.getString(2),
+        s"trim=$doTrim lower=$doLower doc ${r.getLong(0)}: " +
+          s"'${r.getString(1)}' != '${r.getString(2)}'"))
+    }
+    // null propagation
+    val nr = spark.sql("SELECT ws_normalize(CAST(NULL AS STRING), true, true) AS x")
+      .collect()(0)
+    assert(nr.isNullAt(0))
+  }
+
   test("norm_md5 equals md5(trim(regexp_replace(text, \\s+, ' ')))") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
