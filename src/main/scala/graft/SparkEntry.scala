@@ -236,7 +236,7 @@ object SparkEntry {
       // signature projection (no-op at real scale).
       graft.plans.TextHashExprs.register(s)
       val d = graft.pipeline.ScanParallelism.ensure(t(s, dir, "documents"))
-      val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      val toks = graft.plans.TextHashExprs.ascii_tokens(col("text"))
       // in-row min over the array = groupBy-min over exploded tokens; docs
       // with zero tokens fell out of the GROUP BY, so filter them the same.
       // The band table feeds BOTH sides of BOTH band self-joins (4 plan
@@ -313,7 +313,7 @@ object SparkEntry {
       // regression); at real scale it is a no-op.
       graft.plans.TextHashExprs.register(s)
       val d = graft.pipeline.ScanParallelism.ensure(t(s, dir, "documents"))
-      val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      val toks = graft.plans.TextHashExprs.ascii_tokens(col("text"))
       d.withColumn("toks", toks)
         .filter(size(col("toks")) > 0) // zero-token docs fell out of the GROUP BY
         .select(col("doc_id"),

@@ -25,9 +25,13 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   */
 object DedupJobs {
 
-  /** Word tokens, lowercased — the same tokenization as q_dedup_minhash. */
+  /** Word tokens, lowercased — the same tokenization as q_dedup_minhash.
+    * One compiled pass ([[graft.plans.TextHashExprs.asciiTokens]]),
+    * bit-identical to `regexp_extract_all(lower(text), "[a-z0-9]+", 0)`
+    * (TextHashSpec differential incl. the İ/ſ case-fold traps); callers
+    * must have TextHashExprs registered — every dedup entry point does. */
   def tokens(textCol: Column): Column =
-    regexp_extract_all(lower(textCol), lit("[a-z0-9]+"), lit(0))
+    graft.plans.TextHashExprs.ascii_tokens(textCol)
 
   /** Intermediates persisted by the pipelines below, so long-lived sessions
     * can release them: persist-and-never-unpersist would otherwise

@@ -145,6 +145,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WsNormalizeExpr].getName, "ws_normalize"),
       (exprs: Seq[Expression]) => WsNormalizeExpr(exprs(0), exprs(1), exprs(2))))
     ext.injectFunction((
+      FunctionIdentifier("ascii_tokens"),
+      new ExpressionInfo(classOf[AsciiTokensExpr].getName, "ascii_tokens"),
+      (exprs: Seq[Expression]) => AsciiTokensExpr(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDotExpr(exprs(0), exprs(1))))

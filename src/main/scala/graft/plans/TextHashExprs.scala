@@ -451,6 +451,41 @@ object TextHashExprs {
     hex(buf)
   }
 
+  /** The dedup-family word tokens —
+    * `regexp_extract_all(lower(text), '[a-z0-9]+', 0)` — in one compiled
+    * pass: lowering delegates to the same `UTF8String.toLowerCase` the
+    * builtin uses (İ → "i̇" still contributes its ASCII 'i', ſ → 's' —
+    * the scan runs on the LOWERED bytes exactly like the regex), then
+    * maximal [a-z0-9] byte runs are sliced off directly (multi-byte
+    * UTF-8 units never contain ASCII bytes, so a byte scan is exact).
+    * Non-overlapping leftmost maximal runs == the regex's match set. */
+  def asciiTokens(raw: UTF8String): ArrayData = {
+    val b = raw.toLowerCase.getBytes
+    val n = b.length
+    @inline def isTok(x: Byte): Boolean =
+      (x >= 'a' && x <= 'z') || (x >= '0' && x <= '9')
+    var count = 0
+    var i = 0
+    while (i < n) {
+      if (isTok(b(i))) {
+        count += 1
+        while (i < n && isTok(b(i))) i += 1
+      } else i += 1
+    }
+    val out = new Array[Any](count)
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (isTok(b(i))) {
+        val from = i
+        while (i < n && isTok(b(i))) i += 1
+        out(k) = UTF8String.fromBytes(b, from, i - from)
+        k += 1
+      } else i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(
@@ -479,6 +514,8 @@ object TextHashExprs {
       reg.createOrReplaceTempFunction(
         "ws_normalize",
         exprs => WsNormalizeExpr(exprs(0), exprs(1), exprs(2)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "ascii_tokens", exprs => AsciiTokensExpr(exprs.head), "built-in")
     }
   }
 
@@ -503,6 +540,25 @@ object TextHashExprs {
     call_function("ws_normalize", raw,
       org.apache.spark.sql.functions.lit(doTrim),
       org.apache.spark.sql.functions.lit(doLower))
+  def ascii_tokens(raw: Column): Column = call_function("ascii_tokens", raw)
+}
+
+/** `ascii_tokens(text)` — the dedup-family tokenizer, one compiled pass
+  * (see [[TextHashExprs.asciiTokens]]). Non-null input always yields an
+  * array (possibly empty). */
+case class AsciiTokensExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "ascii_tokens"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashExprs.asciiTokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextHashExprs.asciiTokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): AsciiTokensExpr =
+    copy(child = newChild)
 }
 
 /** `ws_normalize(text, trim, lower)` — the normalized string in one byte

@@ -245,6 +245,32 @@ class TextHashSpec extends AnyFunSuite {
     assert(nr.isNullAt(0))
   }
 
+  test("ascii_tokens equals regexp_extract_all(lower(text), '[a-z0-9]+')") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.plans.TextHashExprs.register(spark)
+    // traps: İ lowers to "i̇" (its ASCII 'i' must tokenize), ſ -> 's',
+    // K (Kelvin) -> 'k', digits, punctuation runs, CJK, empty
+    val texts = Seq(
+      "Hello, World 123!", "", "...", "早安世界", "İstanbul ſtreet K9",
+      "a1b2c3", "UPPER lower MiXeD", "tabs\tand\nnewlines",
+      "ΣΙΓΜΑ nonascii ǅungla") ++
+      (0 until 30).map { i =>
+        val r = new scala.util.Random(800 + i)
+        (0 until 40).map(_ => Seq("A", "z", "9", " ", ",", "早", "İ", "ſ", "#", ".")(
+          r.nextInt(10))).mkString
+      }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
+    val rows = df.select(col("doc_id"),
+        graft.plans.TextHashExprs.ascii_tokens(col("t")).as("a"),
+        regexp_extract_all(lower(col("t")), lit("[a-z0-9]+"), lit(0)).as("b"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](1) == r.getSeq[String](2),
+      s"doc ${r.getLong(0)}: ${r.getSeq[String](1)} != ${r.getSeq[String](2)}"))
+    val nr = spark.sql("SELECT ascii_tokens(CAST(NULL AS STRING)) AS x").collect()(0)
+    assert(nr.isNullAt(0))
+  }
+
   test("norm_md5 equals md5(trim(regexp_replace(text, \\s+, ' ')))") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
